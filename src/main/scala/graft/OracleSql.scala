@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.Corpus
+
+/** DuckDB-dialect SQL builders mirroring the Spark-side transforms, used as
+  * the driver's correctness oracle (`SparkEntry.oracleSql`). Each helper is
+  * the dialect twin of an expression in `graft.ops.Exprs` / `graft.ops.*` —
+  * keep them in lock-step. Regex character classes are spelled out so RE2
+  * (DuckDB) and Java regex (Spark) agree.
+  */
+object OracleSql {
+
+  val NN = "chr(10) || chr(10)"
+
+  /** Dialect twin of Exprs.normCol. */
+  def norm(x: String): String =
+    raw"trim(regexp_replace(regexp_replace(regexp_replace(lower($x), '[ \t]+', ' ', 'g'), '\n+', chr(10), 'g'), '[^\p{L}\p{Nd} \n]', '', 'g'), ' ' || chr(10))"
+
+  /** Dialect twin of Exprs.trimAsciiWs. */
+  def trimWs(x: String): String =
+    s"trim($x, ' ' || chr(9) || chr(10) || chr(13) || chr(12))"
+
+  /** Dialect twin of Exprs.blankLineSplit (RE2). */
+  val BlankSplit: String = raw"'\n[\t\n\f\r ]*\n+'"
+
+  /** The corpus raw text from the documents table. */
+  val Raw: String = Corpus.rawTextSql("CAST(doc_id AS VARCHAR)", "text")
+
+  /** Reference chrome patterns OR-combined (dialect twin of Exprs.chromeKeep). */
+  val ChromeCombined: String =
+    graft.kernel.TextKernel.defaultChromePatterns.map(p => s"($p)").mkString("|")
+
+  /** Chrome KEEP predicate over a `norm` column (maxLength 100 BYTES). */
+  def chromeKeep(normCol: String): String =
+    raw"NOT (strlen($normCol) < ${Corpus.ChromeMaxLength} AND regexp_matches($normCol, '$ChromeCombined'))"
+
+  /** CTE prefix `WITH base, segs, surv, ranked, fallback, chunks` — the
+    * dialect twin of Chunker.chunk over the corpus raw text.
+    */
+  val ChunkCte: String = {
+    val min = Corpus.MinChunkChars
+    s"""WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, $Raw AS raw FROM documents
+), segs AS (
+  SELECT doc_id, unnest(string_split_regex(raw, $BlankSplit)) AS seg,
+         unnest(range(len(string_split_regex(raw, $BlankSplit)))) AS pos
+  FROM base
+), surv AS (
+  SELECT doc_id, pos, ${trimWs("seg")} AS t FROM segs
+  WHERE strlen(${trimWs("seg")}) >= $min
+), ranked AS (
+  SELECT doc_id,
+         'c' || lpad(CAST(row_number() OVER w AS VARCHAR), 4, '0') AS id,
+         t AS text, ${norm("t")} AS norm,
+         CAST(row_number() OVER w - 1 AS BIGINT) AS idx
+  FROM surv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), fallback AS (
+  SELECT b.doc_id, 'c0001' AS id, ${trimWs("b.raw")} AS text,
+         ${norm(trimWs("b.raw"))} AS norm, CAST(0 AS BIGINT) AS idx
+  FROM base b
+  WHERE b.doc_id NOT IN (SELECT doc_id FROM surv)
+    AND strlen(${trimWs("b.raw")}) >= $min
+), chunks AS (
+  SELECT * FROM ranked UNION ALL SELECT * FROM fallback
+), filtered AS (
+  SELECT * FROM chunks WHERE ${chromeKeep("norm")}
+), keyed AS (
+  SELECT *, CASE WHEN norm = '' THEN 'EMPTY:' || doc_id || ':' || id ELSE norm END AS k
+  FROM filtered
+), exact_ranked AS (
+  SELECT *, row_number() OVER w2 AS rn, first_value(id) OVER w2 AS first_id
+  FROM keyed WINDOW w2 AS (PARTITION BY doc_id, k ORDER BY idx)
+)"""
+  }
+
+  /** ASCII-whitespace tokens (dialect twin of TextAnalysis.tokens). */
+  def tokens(x: String): String =
+    raw"list_filter(string_split_regex($x, '[\t\n\f\r ]+'), t -> t <> '')"
+
+  def stopHits(toksExpr: String, words: Seq[String]): String =
+    s"len(list_filter($toksExpr, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+}

@@ -1,0 +1,338 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.kernel.DedupeConfig
+import graft.ops._
+import graft.jobs.ExtractionJob
+
+/** The driver-contract query surface: one entry per implemented operator
+  * from SURVEY.md §2 plus the training-data-pipeline operators. Queries with
+  * a DuckDB twin in [[OracleSql]] appear in `oracle`; stateful/hash-UDF
+  * operators (greedy simhash dedup, minhash, ANN) are rows-only checks and
+  * are fixture-tested against the sequential kernel in ScalaTest instead.
+  */
+object Queries {
+
+  private def docsOf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embOf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Corpus.docsTable(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference operators over the interleaved corpus ----
+    "q01_n1_normalize" -> ((s, dir) =>
+      Corpus.assemble(corpus(s, dir))
+        .select(col("doc_id"), Exprs.normCol(col("raw")).as("norm"))),
+
+    "q02_g2_assemble" -> ((s, dir) => Corpus.assemble(corpus(s, dir))),
+
+    "q03_g1_chunk" -> ((s, dir) => ExtractionJob.chunks(corpus(s, dir))),
+
+    "q04_p3_chrome" -> ((s, dir) => ExtractionJob.filteredChunks(corpus(s, dir))),
+
+    "q05_a1_exact_kept" -> ((s, dir) =>
+      DedupeOps.exactKept(ExtractionJob.filteredChunks(corpus(s, dir)))),
+
+    "q06_a1_exact_dropped" -> ((s, dir) =>
+      DedupeOps.exactDropped(ExtractionJob.filteredChunks(corpus(s, dir)))),
+
+    "q07_a2_stats_exact" -> ((s, dir) => {
+      val kept = DedupeOps.exactKept(ExtractionJob.filteredChunks(corpus(s, dir)))
+        .groupBy("doc_id").agg(count(lit(1)).as("kept_count"))
+      val dropped = DedupeOps.exactDropped(ExtractionJob.filteredChunks(corpus(s, dir)))
+        .groupBy("doc_id").agg(count(lit(1)).as("dropped_count"))
+      kept.join(dropped, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("kept_count"),
+          coalesce(col("dropped_count"), lit(0L)).as("dropped_count"),
+          (col("kept_count") + coalesce(col("dropped_count"), lit(0L))).as("input_count"))
+    }),
+
+    "q08_a3_markdown" -> ((s, dir) =>
+      Render.markdown(
+        DedupeOps.exactKept(ExtractionJob.filteredChunks(corpus(s, dir))),
+        lit(""), includeChunkIds = true)),
+
+    "q09_s3_jsonl" -> ((s, dir) =>
+      Render.jsonlProjection(ExtractionJob.filteredChunks(corpus(s, dir)))),
+
+    "q10_p1_stage_names" -> ((s, dir) => {
+      val media = Corpus.spanRows(corpus(s, dir)).filter(col("kind") === "media")
+      val w = Window.partitionBy(col("doc_id")).orderBy(Exprs.naturalKey(col("media_ref")))
+      media.withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("media_ref"),
+          concat(lpad(col("rn").cast("string"), 4, "0"),
+            lower(regexp_extract(col("media_ref"), "(\\.[A-Za-z]+)$", 1))).as("staged"))
+    }),
+
+    "q11_o1_natural_rank" -> ((s, dir) => {
+      val names = s.read.parquet(s"$dir/part.parquet")
+        .select(concat(lit("IMG_"), col("p_partkey").cast("string"), lit(".png")).as("name"))
+      names.withColumn("rank",
+        row_number().over(Window.orderBy(Exprs.naturalKey(col("name")))).cast("long"))
+    }),
+
+    "q12_h4_hamming" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet").select(
+        col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        Exprs.hamming(col("l_orderkey") * lit(2654435761L),
+          col("l_partkey") * lit(40503L)).cast("long").as("hd"))),
+
+    "q13_p6_sanity" -> ((s, dir) =>
+      Corpus.assemble(corpus(s, dir)).select(col("doc_id"),
+        (octet_length(Exprs.trimAsciiWs(col("raw"))) >= 20).as("valid"))),
+
+    "q14_extract_metrics" -> ((s, dir) => {
+      val ch = ExtractionJob.chunks(corpus(s, dir))
+      val keep = Exprs.chromeKeep(col("norm"), ExtractionJob.ChromePatterns, Corpus.ChromeMaxLength)
+      ch.withColumn("keep", keep)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_chrome_dropped"))
+        .select(col("doc_id"), col("n_chunks"), col("n_chrome_dropped"),
+          floor(col("n_chrome_dropped") * 10000.0 / col("n_chunks")).as("boilerplate_ratio_bp"))
+    }),
+
+    // ---- sequential dedup (kernel inside flatMapGroups) — rows-only ----
+    "q15_d1_dedup_kept" -> ((s, dir) =>
+      ExtractionJob.dedup(corpus(s, dir))(s).filter(col("kept"))
+        .select("doc_id", "id", "text", "norm", "idx")),
+
+    "q16_d1_dedup_dropped" -> ((s, dir) =>
+      ExtractionJob.dedup(corpus(s, dir))(s).filter(!col("kept"))
+        .select(col("doc_id"), col("id").as("chunk_id"), col("reason"),
+          col("matched_id"), col("distance"), col("preview"))),
+
+    "q17_pipeline_spans" -> ((s, dir) => ExtractionJob.outputSpans(corpus(s, dir))(s)),
+
+    "q18_pipeline_metrics" -> ((s, dir) => ExtractionJob.metrics(corpus(s, dir))(s)),
+
+    "q19_d2_both_kept" -> ((s, dir) =>
+      ExtractionJob.dedup(corpus(s, dir), DedupeConfig(method = "both"))(s)
+        .filter(col("kept")).select("doc_id", "id", "idx")),
+
+    "q20_h3_doc_sigs" -> ((s, dir) =>
+      LshDedup.docSignatures(Corpus.assemble(corpus(s, dir)), 5)),
+
+    "q21_lsh_doc_pairs" -> ((s, dir) =>
+      Similarity.simhashDocPairs(docsOf(s, dir), 5, 6)),
+
+    // ---- training-data pipeline: dedup family ----
+    "q22_dedup_exact_chunks" -> ((s, dir) =>
+      ExtractionJob.chunks(corpus(s, dir))
+        .groupBy(md5(col("norm")).as("norm_md5"))
+        .agg(min(concat(col("doc_id"), lit("/"), col("id"))).as("keep_chunk"),
+          count(lit(1)).as("n_copies"))),
+
+    "q23_ngram_jaccard_pairs" -> ((s, dir) =>
+      Similarity.ngramJaccardPairs(docsOf(s, dir), 3, 1000L)),
+
+    "q24_minhash_lsh_pairs" -> ((s, dir) =>
+      Similarity.minhashLshPairs(docsOf(s, dir), 3, 8)),
+
+    "q25_embed_cos_pairs" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(embOf(s, dir), 2500L)),
+
+    "q26_ann_topk" -> ((s, dir) => Similarity.annBruteForceTopK(embOf(s, dir), 10)),
+
+    "q27_ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(embOf(s, dir), 10)),
+
+    // ---- text analysis ----
+    "q28_lang_id" -> ((s, dir) => TextAnalysis.langId(docsOf(s, dir))),
+    "q29_quality" -> ((s, dir) => TextAnalysis.quality(docsOf(s, dir))),
+    "q30_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docsOf(s, dir))),
+    "q31_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docsOf(s, dir))),
+
+    // ---- multimodal ----
+    "q32_media_meta" -> ((s, dir) => Multimodal.mediaMeta(corpus(s, dir))),
+    "q33_media_decode" -> ((s, dir) =>
+      Multimodal.decodeBatch(Multimodal.mediaTable(corpus(s, dir)))(s).toDF())
+  )
+
+  import OracleSql._
+
+  val oracle: Map[String, String] = Map(
+    "q01_n1_normalize" ->
+      s"SELECT CAST(doc_id AS VARCHAR) AS doc_id, ${norm(Raw)} AS norm FROM documents",
+
+    "q02_g2_assemble" ->
+      s"SELECT CAST(doc_id AS VARCHAR) AS doc_id, $Raw AS raw FROM documents",
+
+    "q03_g1_chunk" ->
+      s"$ChunkCte SELECT doc_id, id, text, norm, idx FROM chunks",
+
+    "q04_p3_chrome" ->
+      s"$ChunkCte SELECT doc_id, id, text, norm, idx FROM filtered",
+
+    "q05_a1_exact_kept" ->
+      s"$ChunkCte SELECT doc_id, id, text, norm, idx FROM exact_ranked WHERE rn = 1",
+
+    "q06_a1_exact_dropped" ->
+      (s"$ChunkCte SELECT doc_id, id AS chunk_id, 'exact_duplicate' AS reason, " +
+        "first_id AS matched_chunk_id, 0 AS distance, " +
+        "CASE WHEN strlen(text) > 200 THEN substr(text, 1, 200) || '...' ELSE text END AS preview " +
+        "FROM exact_ranked WHERE rn > 1"),
+
+    "q07_a2_stats_exact" ->
+      (s"$ChunkCte SELECT doc_id, " +
+        "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_count, " +
+        "CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_count, " +
+        "COUNT(*) AS input_count FROM exact_ranked GROUP BY doc_id"),
+
+    "q08_a3_markdown" ->
+      (s"$ChunkCte SELECT doc_id, rtrim('# Extracted Notes' || $NN || " +
+        s"string_agg('<!-- ' || id || ' -->' || chr(10) || " +
+        s"replace(replace(text, chr(13) || chr(10), chr(10)), chr(13), chr(10)) || $NN, '' ORDER BY idx), " +
+        "chr(10)) || chr(10) AS markdown FROM exact_ranked WHERE rn = 1 GROUP BY doc_id"),
+
+    "q09_s3_jsonl" ->
+      (s"$ChunkCte SELECT doc_id, id, " +
+        "CASE WHEN strlen(text) > 500 THEN substr(text, 1, 500) || '...' ELSE text END AS text, " +
+        "idx AS index, strlen(text) AS len FROM filtered"),
+
+    "q10_p1_stage_names" ->
+      ("""WITH media AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         |         unnest(['img_' || CAST(doc_id AS VARCHAR) || '_1.png',
+         |                 'img_' || CAST(doc_id AS VARCHAR) || '_2.jpg']) AS media_ref,
+         |         unnest([1, 2]) AS n
+         |  FROM documents)
+         |SELECT doc_id, media_ref,
+         |       lpad(CAST(row_number() OVER (PARTITION BY doc_id ORDER BY n) AS VARCHAR), 4, '0')
+         |         || lower(regexp_extract(media_ref, '(\.[A-Za-z]+)$', 1)) AS staged
+         |FROM media""").stripMargin,
+
+    "q11_o1_natural_rank" ->
+      ("""WITH names AS (SELECT 'IMG_' || CAST(p_partkey AS VARCHAR) || '.png' AS name FROM part)
+         |SELECT name, row_number() OVER (ORDER BY CAST(regexp_extract(name, 'IMG_(\d+)', 1) AS BIGINT)) AS rank
+         |FROM names""").stripMargin,
+
+    "q12_h4_hamming" ->
+      ("SELECT l_orderkey, l_partkey, l_linenumber, " +
+        "CAST(bit_count(xor(l_orderkey * 2654435761, l_partkey * 40503)) AS BIGINT) AS hd " +
+        "FROM lineitem"),
+
+    "q13_p6_sanity" ->
+      s"SELECT CAST(doc_id AS VARCHAR) AS doc_id, strlen(${trimWs(Raw)}) >= 20 AS valid FROM documents",
+
+    "q14_extract_metrics" ->
+      (s"$ChunkCte SELECT doc_id, COUNT(*) AS n_chunks, " +
+        s"CAST(SUM(CASE WHEN ${chromeKeep("norm")} THEN 0 ELSE 1 END) AS BIGINT) AS n_chrome_dropped, " +
+        s"CAST(floor(SUM(CASE WHEN ${chromeKeep("norm")} THEN 0 ELSE 1 END) * 10000.0 / COUNT(*)) AS BIGINT) AS boilerplate_ratio_bp " +
+        "FROM chunks GROUP BY doc_id"),
+
+    "q22_dedup_exact_chunks" ->
+      (s"$ChunkCte SELECT md5(norm) AS norm_md5, " +
+        "MIN(doc_id || '/' || id) AS keep_chunk, COUNT(*) AS n_copies " +
+        "FROM chunks GROUP BY md5(norm)"),
+
+    "q23_ngram_jaccard_pairs" ->
+      (s"""WITH sets AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, greatest(len(${tokens("lower(text)")}) - 2, 0) + 1),
+         |           i -> array_to_string(list_slice(${tokens("lower(text)")}, i, i + 2), ' '))) AS sh
+         |  FROM documents
+         |), sized AS (
+         |  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS set_size FROM sets WHERE len(sh) > 0
+         |), ex AS (
+         |  SELECT doc_id, set_size, unnest(sh) AS shingle FROM sized
+         |), capped AS (
+         |  SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM ex) WHERE df <= 1000
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.set_size AS size_a, b.set_size AS size_b,
+         |         CAST(COUNT(*) AS BIGINT) AS common
+         |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT doc_a, doc_b, common,
+         |       CAST(floor(common * 10000.0 / (size_a + size_b - common)) AS BIGINT) AS jaccard_bp
+         |FROM pairs WHERE CAST(floor(common * 10000.0 / (size_a + size_b - common)) AS BIGINT) >= 1000""").stripMargin,
+
+    "q25_embed_cos_pairs" ->
+      ("""WITH a AS (SELECT vec_id AS id_a, embedding AS e_a FROM embeddings),
+         |     b AS (SELECT vec_id AS id_b, embedding AS e_b FROM embeddings)
+         |SELECT id_a, id_b, CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_a, e_b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v) / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_a, e_a), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)) * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_b, e_b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)))) * 10000) AS BIGINT) AS cos_bp
+         |FROM a JOIN b ON id_a < id_b
+         |WHERE CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_a, e_b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v) / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_a, e_a), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)) * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_b, e_b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)))) * 10000) AS BIGINT) >= 2500""").stripMargin,
+
+    "q26_ann_topk" ->
+      ("""WITH a AS (SELECT vec_id AS query_id, embedding AS e_q FROM embeddings),
+         |     b AS (SELECT vec_id AS neighbor_id, embedding AS e_n FROM embeddings),
+         |     scored AS (
+         |  SELECT query_id, neighbor_id, CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_q, e_n), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v) / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_q, e_q), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)) * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_n, e_n), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)))) * 10000) AS BIGINT) AS cos_bp
+         |  FROM a JOIN b ON query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, cos_bp, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 10""").stripMargin,
+
+    "q25_embed_cos_pairs" ->
+      ("""WITH a AS (SELECT vec_id AS id_a, embedding AS e_a FROM embeddings),
+         |     b AS (SELECT vec_id AS id_b, embedding AS e_b FROM embeddings)
+         |SELECT id_a, id_b, CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_a, e_b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v) / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_a, e_a), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)) * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_b, e_b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)))) * 10000) AS BIGINT) AS cos_bp
+         |FROM a JOIN b ON id_a < id_b
+         |WHERE CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_a, e_b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v) / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_a, e_a), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)) * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_b, e_b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)))) * 10000) AS BIGINT) >= 2500""").stripMargin,
+
+    "q26_ann_topk" ->
+      ("""WITH a AS (SELECT vec_id AS query_id, embedding AS e_q FROM embeddings),
+         |     b AS (SELECT vec_id AS neighbor_id, embedding AS e_n FROM embeddings),
+         |     scored AS (
+         |  SELECT query_id, neighbor_id, CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_q, e_n), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v) / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_q, e_q), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)) * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_n, e_n), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)))) * 10000) AS BIGINT) AS cos_bp
+         |  FROM a JOIN b ON query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, cos_bp, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 10""").stripMargin,
+
+    "q28_lang_id" ->
+      (s"""SELECT doc_id,
+         |  CAST(${stopHits(tokens("lower(text)"), TextAnalysis.EnStop)} AS BIGINT) AS en_hits,
+         |  CAST(${stopHits(tokens("lower(text)"), TextAnalysis.FrStop)} AS BIGINT) AS fr_hits,
+         |  CAST(${stopHits(tokens("lower(text)"), TextAnalysis.DeStop)} AS BIGINT) AS de_hits,
+         |  CAST(len(${tokens("lower(text)")}) AS BIGINT) AS n_tokens,
+         |  CASE WHEN ${stopHits(tokens("lower(text)"), TextAnalysis.EnStop)} >= ${stopHits(tokens("lower(text)"), TextAnalysis.FrStop)}
+         |        AND ${stopHits(tokens("lower(text)"), TextAnalysis.EnStop)} >= ${stopHits(tokens("lower(text)"), TextAnalysis.DeStop)} THEN 'en'
+         |       WHEN ${stopHits(tokens("lower(text)"), TextAnalysis.FrStop)} >= ${stopHits(tokens("lower(text)"), TextAnalysis.DeStop)} THEN 'fr'
+         |       ELSE 'de' END AS lang_pred
+         |FROM documents""").stripMargin,
+
+    "q29_quality" ->
+      (s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(${tokens("text")}) AS BIGINT) AS n_tokens,
+         |  CAST(floor(length(text) * 10000.0 / greatest(len(${tokens("text")}), 1)) AS BIGINT) AS mean_word_len_bp,
+         |  CAST(floor(len(regexp_extract_all(text, '[^a-zA-Z0-9\t\n\f\r ]')) * 10000.0 / greatest(length(text), 1)) AS BIGINT) AS punct_ratio_bp,
+         |  CAST(floor(len(regexp_extract_all(text, '[0-9]')) * 10000.0 / greatest(length(text), 1)) AS BIGINT) AS digit_ratio_bp,
+         |  CAST(floor(${stopHits(tokens("lower(text)"), TextAnalysis.EnStop)} * 10000.0 / greatest(len(${tokens("text")}), 1)) AS BIGINT) AS stopword_ratio_bp
+         |FROM documents""").stripMargin,
+
+    "q30_token_counts" ->
+      (s"""SELECT doc_id,
+         |  CAST(len(${tokens("text")}) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\t\n\f\r ]')) AS BIGINT) AS bpe_tokens
+         |FROM documents""").stripMargin,
+
+    "q31_fingerprints" ->
+      ("""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+         |    (h, c) -> (h * 31 + c) % 1000000007) AS rolling_hash,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(list_filter(string_split_regex(text, '[\t\n\f\r ]+'), t -> t <> ''),
+         |      t -> CAST(length(t) AS BIGINT) * ascii(substr(t, 1, 1)))),
+         |    (s, v) -> (s + v) % 1000000007) AS token_sketch
+         |FROM documents""").stripMargin,
+
+    "q32_media_meta" ->
+      ("""WITH media AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         |         unnest(['img_' || CAST(doc_id AS VARCHAR) || '_1.png',
+         |                 'img_' || CAST(doc_id AS VARCHAR) || '_2.jpg']) AS media_ref
+         |  FROM documents)
+         |SELECT doc_id, media_ref,
+         |       lower(regexp_extract(media_ref, '\.([A-Za-z]+)$', 1)) AS ext,
+         |       CAST(octet_length(encode('IMGDATA:' || media_ref || ':' || repeat('x', 64))) AS BIGINT) AS n_bytes
+         |FROM media""").stripMargin
+  )
+}

@@ -126,16 +126,16 @@ object TextKernel {
   )
 
   /** Drop chunks whose norm BOTH matches a pattern AND is shorter than
-    * `maxLength` chars; long matches are kept as likely-real content
-    * (reference: internal/text/text.go:126-163). Invalid patterns are
-    * silently skipped (text.go:132-139). `maxLength` is hardcoded to 100 at
-    * the reference call site (cmd/pipeline/main.go:226).
+    * `maxLength` BYTES (Go `len` is bytes); long matches are kept as
+    * likely-real content (reference: internal/text/text.go:126-163). Invalid
+    * patterns are silently skipped (text.go:132-139). `maxLength` is
+    * hardcoded to 100 at the reference call site (cmd/pipeline/main.go:226).
     */
   def filterChrome(chunks: Seq[Chunk], patterns: Seq[String], maxLength: Int): Vector[Chunk] = {
     if (patterns.isEmpty) return chunks.toVector
     val compiled = patterns.flatMap(p => Try(Pattern.compile(p)).toOption)
     chunks.iterator.filterNot { c =>
-      c.norm.length < maxLength && compiled.exists(_.matcher(c.norm).find())
+      byteLen(c.norm) < maxLength && compiled.exists(_.matcher(c.norm).find())
     }.toVector
   }
 

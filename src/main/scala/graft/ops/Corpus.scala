@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic corpus of interleaved text+media documents,
+  * derived purely from the driver-provided `documents` table (TESTDATA.md) —
+  * no external data, no randomness. Schema matches BASELINE.json input_hint:
+  *
+  *   docs(doc_id: string,
+  *        spans: array<struct<kind: string, text: string,
+  *                            media_ref: string, offset: int>>)
+  *
+  * Span layout per source document (text `t` = documents.text):
+  *
+  *   off kind  content                               exercises
+  *   0   text  t                                     normal content
+  *   1   media img_<id>_1.png                        OCR mapping, interleaving
+  *   2   text  ChromeLine (81B, matches patterns)    chrome drop (<100B norm)
+  *   3   media img_<id>_2.jpg                        OCR mapping
+  *   4   text  t                                     exact duplicate
+  *   5   text  "ok"                                  min-length drop (<60B)
+  *   6   text  upper(t) + "!"                        exact dup via normalize
+  *   7   text  CrlfPara (contains \r\n)              CRLF normalize/chunk
+  *   8   text  LongChrome (>=100B norm, matches)     keep-long-chrome rule
+  *   9   text  t + " " + Tail                        near duplicate (simhash)
+  *
+  * The "OCR function" (the reference shells out to ocrmypdf,
+  * internal/pipeline/pipeline.go:87-102; here it must be a deterministic
+  * media->text mapping per SURVEY.md §1.2) is `ocrText`: a pure function of
+  * the media_ref.
+  *
+  * Every builder exists twice — as a Spark `Column` and as DuckDB SQL built
+  * from the same constants — so the driver's DuckDB oracle replays the exact
+  * corpus (SURVEY.md §7.2.3).
+  */
+object Corpus {
+
+  val MinChunkChars = 60 // reference default --min-chunk-chars (cmd/pipeline/main.go:73)
+  val ChromeMaxLength = 100 // hardcoded at reference call site (cmd/pipeline/main.go:226)
+
+  val ChromeLine =
+    "Battery 85% charging wifi signal weak and the search bar stays visible on screen"
+  val LongChrome =
+    "Battery 85% charging wifi signal weak and the search bar stays visible on screen while the long article text continues beyond the chrome length limit"
+  val CrlfPara =
+    "First line with some words here\r\nsecond line continues the same paragraph nicely"
+  val Tail =
+    "plus appended tail words that modify the ending slightly"
+
+  /** Deterministic OCR stand-in: media_ref -> recognized text (>=60 bytes,
+    * unique per ref so OCR output is never deduped away).
+    */
+  def ocrTextCol(ref: Column): Column =
+    concat(lit("Scanned page "), ref,
+      lit(" recognized text payload with sufficient descriptive length for chunking."))
+
+  def ocrTextSql(ref: String): String =
+    s"'Scanned page ' || $ref || ' recognized text payload with sufficient descriptive length for chunking.'"
+
+  /** The assembled raw document text: span texts (media spans contribute
+    * their OCR text) joined by blank lines, in offset order — the graft
+    * analogue of the reference's single extracted.txt read
+    * (cmd/pipeline/main.go:217-222).
+    */
+  def rawTextCol(docId: Column, t: Column): Column = {
+    val ref1 = concat(lit("img_"), docId, lit("_1.png"))
+    val ref2 = concat(lit("img_"), docId, lit("_2.jpg"))
+    concat_ws("\n\n",
+      t,
+      ocrTextCol(ref1),
+      lit(ChromeLine),
+      ocrTextCol(ref2),
+      t,
+      lit("ok"),
+      concat(upper(t), lit("!")),
+      lit(CrlfPara),
+      lit(LongChrome),
+      concat(t, lit(" "), lit(Tail)))
+  }
+
+  // SQL string literals: escape and use chr(10)/chr(13) for control chars.
+  private def sqlLit(s: String): String =
+    "'" + s.replace("'", "''").replace("\r", "' || chr(13) || '")
+      .replace("\n", "' || chr(10) || '") + "'"
+
+  /** DuckDB SQL for rawTextCol over `documents` aliased columns; `docId` and
+    * `t` are SQL expressions (e.g. "CAST(doc_id AS VARCHAR)" and "text").
+    */
+  def rawTextSql(docId: String, t: String): String = {
+    val nn = "chr(10) || chr(10)"
+    val ref1 = s"'img_' || $docId || '_1.png'"
+    val ref2 = s"'img_' || $docId || '_2.jpg'"
+    Seq(
+      t,
+      ocrTextSql(ref1),
+      sqlLit(ChromeLine),
+      ocrTextSql(ref2),
+      t,
+      "'ok'",
+      s"upper($t) || '!'",
+      sqlLit(CrlfPara),
+      sqlLit(LongChrome),
+      s"$t || ' ' || ${sqlLit(Tail)}"
+    ).mkString(" || " + nn + " || ")
+  }
+
+  /** The interleaved docs table per BASELINE.json input_hint. `replicate`
+    * multiplies the corpus with distinct doc_ids (deterministic) so the
+    * bench can run at a meaningful scale from small source tables.
+    */
+  def docsTable(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
+    val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string").as("src_id"), col("text"))
+    val base =
+      if (replicate <= 1) base0.withColumn("doc_id", col("src_id"))
+      else base0
+        .withColumn("rep", explode(sequence(lit(0), lit(replicate - 1))))
+        .withColumn("doc_id", concat_ws("_", col("src_id"), col("rep")))
+    val t = col("text")
+    val id = col("doc_id")
+    def span(kind: String, text: Column, mediaRef: Column, offset: Int): Column =
+      struct(lit(kind).as("kind"), text.as("text"), mediaRef.as("media_ref"),
+        lit(offset).as("offset"))
+    val e = lit("")
+    base.select(
+      id.as("doc_id"),
+      array(
+        span("text", t, e, 0),
+        span("media", e, concat(lit("img_"), id, lit("_1.png")), 1),
+        span("text", lit(ChromeLine), e, 2),
+        span("media", e, concat(lit("img_"), id, lit("_2.jpg")), 3),
+        span("text", t, e, 4),
+        span("text", lit("ok"), e, 5),
+        span("text", concat(upper(t), lit("!")), e, 6),
+        span("text", lit(CrlfPara), e, 7),
+        span("text", lit(LongChrome), e, 8),
+        span("text", concat(t, lit(" "), lit(Tail)), e, 9)
+      ).as("spans"))
+  }
+
+  /** Exploded span rows (doc_id, kind, text, media_ref, offset) with media
+    * spans OCR-mapped — the pipeline's working form.
+    */
+  def spanRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(
+        col("doc_id"),
+        col("s.kind").as("kind"),
+        when(col("s.kind") === "media", ocrTextCol(col("s.media_ref")))
+          .otherwise(col("s.text")).as("text"),
+        col("s.media_ref").as("media_ref"),
+        col("s.offset").as("offset"))
+
+  /** Assembled per-doc raw text from the docs table (G2 — SURVEY.md §2.5):
+    * ordered concat of (OCR-mapped) span texts with blank-line separators.
+    *
+    * Scale note: a document's spans live in ONE row of the docs table, so
+    * assembly is a pure per-row array fold — no explode, no groupBy, ZERO
+    * shuffle, fully inside whole-stage codegen. (An exploded-form assembly
+    * would shuffle every span payload on doc_id; at 10^12 docs that is the
+    * difference between a map-only stage and the dominant exchange.)
+    */
+  def assemble(docs: DataFrame): DataFrame = {
+    val ordered = array_sort(transform(col("spans"), s =>
+      struct(s("offset").as("o"), s("kind").as("k"),
+        s("text").as("t"), s("media_ref").as("m"))))
+    docs.select(
+      col("doc_id"),
+      array_join(
+        transform(ordered, s =>
+          when(s("k") === "media", ocrTextCol(s("m"))).otherwise(s("t"))),
+        "\n\n").as("raw"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.kernel.{Hashing, TextKernel}
+
+/** Shared Catalyst column expressions for the SQL-expressible reference
+  * operators, plus the few UDFs whose semantics the built-ins cannot express
+  * (byte-exact truncation, SimHash, natural-sort key).
+  *
+  * Every expression here stays inside whole-stage codegen except the UDFs;
+  * the UDFs are deterministic and marked so, keeping Catalyst free to reorder
+  * around them. Regex character classes are spelled out (no `\s`) so the
+  * Spark (Java regex) and DuckDB-oracle (RE2) dialects agree — see
+  * SURVEY.md §7.4.7.
+  */
+object Exprs {
+
+  /** N1 — Normalize (reference: internal/text/text.go:34-65) as pure
+    * Catalyst built-ins: lower, collapse space/tab runs, collapse newline
+    * runs, strip everything but letters / decimal digits / space / newline,
+    * trim. `\p{Nd}` (not `\p{N}`) mirrors Go `unicode.IsDigit`; the final
+    * trim only needs ' ' and '\n' because no other whitespace survives the
+    * character filter.
+    */
+  def normCol(c: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(c), "[ \\t]+", " "),
+          "\\n+", "\n"),
+        "[^\\p{L}\\p{Nd} \\n]", ""),
+      " \n")
+
+  /** Blank-line split pattern (reference: internal/text/text.go:75), with
+    * RE2's ASCII `\s` spelled out for dialect parity.
+    */
+  val blankLineSplit: String = TextKernel.blankLineSplit
+
+  /** Go-TrimSpace for ASCII whitespace — covers this corpus exactly; the
+    * byte-exact general form lives in the kernel and runs in the
+    * flatMapGroups pipeline.
+    */
+  def trimAsciiWs(c: Column): Column = trim(c, " \t\n\r\f")
+
+  /** P3 — chrome-filter KEEP predicate (reference: internal/text/
+    * text.go:126-163): drop iff norm is shorter than `maxLength` BYTES and
+    * matches any pattern. Invalid patterns are skipped driver-side,
+    * mirroring the reference's silent skip (text.go:132-139); patterns are
+    * OR-combined into one `rlike` so codegen sees a single regex.
+    */
+  def chromeKeep(norm: Column, patterns: Seq[String], maxLength: Int): Column = {
+    val valid = patterns.filter(p =>
+      scala.util.Try(java.util.regex.Pattern.compile(p)).isSuccess)
+    if (valid.isEmpty) lit(true)
+    else {
+      val combined = valid.map(p => s"($p)").mkString("|")
+      !(octet_length(norm) < maxLength && norm.rlike(combined))
+    }
+  }
+
+  /** H3 — simhash64 over byte k-grams (reference: internal/dedupe/
+    * dedupe.go:150-185). A deterministic scalar UDF for v1; semantics are
+    * locked by the kernel fixture tests. (A codegen `Expression` variant is
+    * a perf-only upgrade — SURVEY.md §7.3.)
+    */
+  private val simhashU = udf((s: String, k: Int) => Hashing.simhash64(s, k))
+  def simhash64(c: Column, k: Int): Column = simhashU(c, lit(k))
+
+  /** H1 — FNV-1a 64 (reference: internal/dedupe/dedupe.go:140-147). */
+  private val fnvU = udf((s: String) => Hashing.fnv1a64(s))
+  def fnv1a64(c: Column): Column = fnvU(c)
+
+  /** Byte-exact preview truncation (reference slices Go bytes at 200/500:
+    * internal/dedupe/dedupe.go:97-101, internal/text/text.go:187-191).
+    * `substring` counts chars, so this must be a UDF.
+    */
+  private val byteTruncU = udf((s: String, max: Int) => TextKernel.byteTruncate(s, max))
+  def byteTruncate(c: Column, max: Int): Column = byteTruncU(c, lit(max))
+
+  /** O1 — natural-sort key (reference: internal/ingest/ingest.go:70-174).
+    * Encodes each digit/non-digit segment as (type-flag, padded value) so a
+    * plain string ORDER BY reproduces naturalLess: digit runs sort
+    * numerically via zero-pad to 20, numbers sort before text via the '0'/'1'
+    * flag, shorter prefix first, full value as tiebreak.
+    */
+  private val naturalKeyU = udf { (s: String) =>
+    val base = s.substring(s.lastIndexOf('/') + 1)
+    val segs = graft.kernel.TextKernel.splitIntoSegments(base).map { seg =>
+      // numeric iff Atoi would succeed (ASCII digits, fits in signed 64-bit)
+      val numeric = seg.nonEmpty && seg.forall(c => c >= '0' && c <= '9') &&
+        scala.util.Try(java.lang.Long.parseLong(seg)).isSuccess
+      if (numeric) "0" + ("0" * (20 - seg.length)) + seg else "1" + seg
+    }
+    // '\u0001' terminators keep variable-length segments aligned (a segment
+    // that is a strict prefix of another sorts first = the reference's
+    // shorter-prefix rule); the trailing block is the full-path tiebreak.
+    segs.map(_ + "\u0001").mkString + "\u0001" + s
+  }
+  def naturalKey(c: Column): Column = naturalKeyU(c)
+
+  /** H4 — Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

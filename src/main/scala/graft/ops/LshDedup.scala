@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** D1 cross-document level — banded LSH self-join over 64-bit SimHash
+  * signatures (SURVEY.md §2.7 "across 10^12 docs"; north_star: "flags
+  * near-duplicate documents without shuffling full span payloads").
+  *
+  * Pipeline: project ONLY (doc_id, sig) — column pruning keeps payloads out
+  * of the exchange — explode the signature into `bands` fixed-width band
+  * keys, self-join on (band, band_bits), post-filter on true Hamming
+  * distance, emit distinct candidate pairs (a < b).
+  *
+  * Why it scales: two docs within Hamming distance d share at least one of
+  * b bands untouched when d < b (pigeonhole), so recall is exact for
+  * d <= threshold when bands > threshold... strictly: with 8 bands of 8
+  * bits, any pair with d <= 7 collides in >= 1 band, so threshold <= 7 has
+  * perfect recall; the default threshold 6 qualifies. Join fan-out is
+  * bounded by band-bucket sizes; a hot bucket (common boilerplate) is
+  * handled by AQE skew-join splitting since the join is a plain equi-join.
+  */
+object LshDedup {
+
+  val Bands = 8
+  val BandBits = 8
+
+  /** (doc_id, sig) -> distinct near-duplicate candidate pairs
+    * (doc_a, doc_b, distance) with distance <= threshold and doc_a < doc_b.
+    */
+  def nearDupPairs(sigs: DataFrame, threshold: Int): DataFrame = {
+    require(threshold < Bands, s"banded LSH with $Bands bands has exact recall only for threshold < $Bands")
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .withColumn("band_key",
+        expr(s"shiftrightunsigned(sig, band * $BandBits)")
+          .bitwiseAND(lit((1L << BandBits) - 1)))
+    val a = banded.select(
+      col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(
+      col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(Exprs.hamming(col("sig_a"), col("sig_b")) <= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        Exprs.hamming(col("sig_a"), col("sig_b")).as("distance"))
+      .distinct()
+  }
+
+  /** Per-doc whole-document signatures from assembled raw text. */
+  def docSignatures(assembled: DataFrame, k: Int): DataFrame =
+    assembled.select(col("doc_id"),
+      Exprs.simhash64(Exprs.normCol(col("raw")), k).as("sig"))
+
+  /** Winner selection: map every doc in a near-dup cluster to the minimum
+    * doc_id reachable within `iters` hops of min-propagation (connected
+    * components by iterated min-neighbor — exact for clusters of diameter
+    * <= iters, which covers the tight clusters LSH emits; documented
+    * approximation, NOT part of the reference semantics).
+    */
+  def clusterWinners(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+    var labels = edges.groupBy(col("x").as("doc_id"))
+      .agg(least(min(col("y")), first(col("x"))).as("winner"))
+    for (_ <- 1 until iters) {
+      labels = edges
+        .join(labels.withColumnRenamed("doc_id", "y"), Seq("y"))
+        .groupBy(col("x").as("doc_id"))
+        .agg(min(col("winner")).as("winner"))
+        .withColumn("winner", least(col("winner"), col("doc_id")))
+    }
+    labels
+  }
+}

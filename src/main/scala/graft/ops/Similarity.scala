@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.kernel.Hashing
+
+/** Document-level deduplication + similarity-search operators for a
+  * training-data pipeline, over `documents` (text) and `embeddings`
+  * (Array[Float]) tables.
+  *
+  * Scale notes per operator are inline; the common theme: candidate
+  * generation goes through key-equality joins (shingle / band / bucket) so
+  * nothing ever compares all pairs, and only (id, signature) projections
+  * enter exchanges — never full payloads.
+  */
+object Similarity {
+
+  // ---------- exact dedup ----------
+
+  /** Exact document dedup: hash-groupBy on sha1(text); winner = min doc_id.
+    * Map-side partial agg + one exchange on the 20-byte hash; text payload
+    * travels only for the winner via min_by.
+    */
+  def exactDocDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(sha1(col("text")).as("text_sha1"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).cast("long").as("n_copies"))
+
+  // ---------- word-shingle machinery ----------
+
+  /** Distinct `n`-word shingles per doc. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    array_distinct(
+      filter(
+        transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+          i => concat_ws(" ", slice(toks, i, lit(n)))),
+        s => s =!= ""))
+  }
+
+  /** N-gram Jaccard near-dup pairs: explode distinct shingles, self-join on
+    * shingle (candidates must share >= 1), count shared, Jaccard =
+    * |A∩B| / (|A|+|B|-|A∩B|) >= thresholdBp/10000. Output quantized.
+    *
+    * Scale: the join key is the shingle string; fan-out is bounded by
+    * document frequency of each shingle. Stop-shingle blowup (a shingle in
+    * k docs -> k^2 pairs) is the known hazard; production recipe is a
+    * doc-frequency cap on shingles before the join — here df <= `maxDf`.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, thresholdBp: Long, maxDf: Int = 1000): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .withColumn("set_size", size(col("sh")).cast("long"))
+      .filter(col("set_size") > 0)
+    val exploded = sets.select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
+    val capped = exploded.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+    val a = capped.select(col("shingle"), col("doc_id").as("doc_a"), col("set_size").as("size_a"))
+    val b = capped.select(col("shingle"), col("doc_id").as("doc_b"), col("set_size").as("size_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).cast("long").as("common"))
+      .withColumn("jaccard_bp",
+        floor(col("common") * 10000.0 / (col("size_a") + col("size_b") - col("common"))))
+      .filter(col("jaccard_bp") >= thresholdBp)
+      .select("doc_a", "doc_b", "common", "jaccard_bp")
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  val MinHashFns = 16
+  val MinHashBands = 4 // 4 bands x 4 rows
+
+  private val minhashU = udf { (sh: Seq[String]) =>
+    if (sh == null || sh.isEmpty) null
+    else {
+      val sig = new Array[Long](MinHashFns)
+      java.util.Arrays.fill(sig, Long.MaxValue)
+      for (s <- sh) {
+        val h = Hashing.fnv1a64(s)
+        var i = 0
+        while (i < MinHashFns) {
+          // xorshift-mix per hash function seed; universal enough for LSH
+          val mixed = java.lang.Long.rotateLeft(h, i * 7 + 1) * (2654435761L + 2L * i) + i
+          if (java.lang.Long.compareUnsigned(mixed, sig(i)) < 0) sig(i) = mixed
+          i += 1
+        }
+      }
+      sig.toSeq
+    }
+  }
+
+  /** MinHash signatures over word shingles (deterministic, seedless —
+    * derived from FNV + fixed odd multipliers).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashU(col("sh")).as("sig"),
+        size(col("sh")).cast("long").as("set_size"))
+
+  /** MinHash LSH candidate pairs: band the signature (4 bands x 4 rows),
+    * bucket-join on (band, hash(band slice)), then verify with the estimated
+    * Jaccard = fraction of agreeing minhashes. Only (doc_id, sig) shuffles.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int, minAgree: Int): DataFrame = {
+    val sigs = minhashSignatures(docs, n)
+    val rowsPerBand = MinHashFns / MinHashBands
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
+      .withColumn("bucket", hash(col("band"),
+        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          v => v)).as("agree"))
+      .distinct()
+      .filter(col("agree") >= minAgree)
+  }
+
+  /** SimHash doc-level near-dup pairs via the banded LSH self-join
+    * (delegates to [[LshDedup]]).
+    */
+  def simhashDocPairs(docs: DataFrame, k: Int, threshold: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      Exprs.simhash64(Exprs.normCol(col("text")), k).as("sig"))
+    LshDedup.nearDupPairs(sigs, threshold)
+  }
+
+  // ---------- embedding similarity ----------
+
+  /** Left-fold double dot product — the fold order is fixed so results are
+    * IEEE-identical to DuckDB's list fold in the oracle.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Embedding cosine near-dup pairs above a quantized threshold.
+    * Brute-force O(n^2) candidate space — correct baseline; the scale path
+    * is [[annLshTopK]] (bucketed). Projections carry only (id, vector).
+    */
+  def embeddingNearDupPairs(emb: DataFrame, thresholdBp: Long): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_bp", floor(cosine(col("e_a"), col("e_b")) * 10000))
+      .filter(col("cos_bp") >= thresholdBp)
+      .select("id_a", "id_b", "cos_bp")
+  }
+
+  /** Brute-force cosine top-k neighbors per query vector — the exact-recall
+    * ANN baseline. Window top-k with deterministic (score desc, id asc)
+    * tie-break.
+    */
+  def annBruteForceTopK(emb: DataFrame, k: Int): DataFrame = {
+    val a = emb.select(col("vec_id").as("query_id"), col("embedding").as("e_q"))
+    val b = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_n"))
+    val scored = a.crossJoin(b)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_bp", floor(cosine(col("e_q"), col("e_n")) * 10000))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_bp", "rank")
+  }
+
+  val HyperplaneBits = 12
+
+  /** Deterministic pseudo-random hyperplane component w[bit][dim] in {-1,+1},
+    * derived from FNV of (bit, dim) — seedless, identical on every executor.
+    */
+  private def hyperplaneSign(bit: Int, dim: Int): Double =
+    if ((Hashing.fnv1a64(s"hp:$bit:$dim") & 1L) == 0L) -1.0 else 1.0
+
+  private val signBitsU = udf { (e: Seq[Float]) =>
+    var sig = 0
+    var bit = 0
+    while (bit < HyperplaneBits) {
+      var s = 0.0
+      var d = 0
+      while (d < e.length) { s += e(d) * hyperplaneSign(bit, d); d += 1 }
+      if (s > 0) sig |= (1 << bit)
+      bit += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed ANN: random-hyperplane sign buckets; candidates = bucket
+    * collisions (plus single-bit-flip probes), exact cosine re-rank inside
+    * the bucket. Recall/latency knob = HyperplaneBits; this is the shape
+    * that survives 100TB (bucket join, no cross product).
+    */
+  def annLshTopK(emb: DataFrame, k: Int, probeBits: Int = 1): DataFrame = {
+    val sigs = emb.select(col("vec_id"), col("embedding"), signBitsU(col("embedding")).as("bucket"))
+    // multi-probe: query side also explodes each single-bit-flipped bucket
+    val probes = sigs.select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+      explode(concat(array(col("bucket")),
+        transform(sequence(lit(0), lit(if (probeBits > 0) HyperplaneBits - 1 else -1)),
+          i => expr("bucket").bitwiseXOR(pow(lit(2), i).cast("int"))))).as("bucket"))
+    val cands = probes.join(
+      sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_n"), col("bucket")),
+      Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_bp", floor(cosine(col("e_q"), col("e_n")) * 10000))
+      .select("query_id", "neighbor_id", "cos_bp").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table. All are pure Catalyst expressions (whole-stage
+  * codegen, no UDFs, no shuffle beyond the source scan), so they run as
+  * map-only stages at any corpus scale.
+  *
+  * Ratio outputs are integer-quantized (`floor(x*10000)` basis points) so
+  * the DuckDB oracle compares exactly — int arithmetic and IEEE double
+  * division/floor are bit-identical across engines.
+  */
+object TextAnalysis {
+
+  /** ASCII-whitespace tokenizer shared by the analyses. */
+  def tokens(c: Column): Column =
+    filter(split(c, "[\\t\\n\\f\\r ]+"), t => t =!= "")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs | digit runs | single non-alnum), the standard pre-tokenizer
+    * shape for byte-pair encoders.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\t\\n\\f\\r ]"), lit(0))).cast("long").as("bpe_tokens"))
+
+  val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+  val FrStop = Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "en")
+  val DeStop = Seq("der", "die", "das", "und", "ist", "von", "den", "mit", "ein", "zu")
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Language ID via stopword-hit heuristic (n-gram-free variant suited to
+    * codegen; ties resolve en > fr > de deterministically).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    docs.select(
+      col("doc_id"),
+      stopHits(toks, EnStop).cast("long").as("en_hits"),
+      stopHits(toks, FrStop).cast("long").as("fr_hits"),
+      stopHits(toks, DeStop).cast("long").as("de_hits"),
+      size(toks).cast("long").as("n_tokens"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("de_hits"), "en")
+          .when(col("fr_hits") >= col("de_hits"), "fr")
+          .otherwise("de"))
+  }
+
+  /** Quality scoring: length, mean word length, punctuation / digit /
+    * stopword / whitespace ratios — the usual cheap quality gates
+    * (Gopher/C4-style) as basis points.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChars = length(col("text")).cast("long")
+    val nTokens = size(toks).cast("long")
+    val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\t\\n\\f\\r ]"), lit(0))).cast("long")
+    val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("long")
+    val stop = stopHits(tokens(lower(col("text"))), EnStop).cast("long")
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      floor(nChars * 10000.0 / greatest(nTokens, lit(1L))).as("mean_word_len_bp"),
+      floor(punct * 10000.0 / greatest(nChars, lit(1L))).as("punct_ratio_bp"),
+      floor(digits * 10000.0 / greatest(nChars, lit(1L))).as("digit_ratio_bp"),
+      floor(stop * 10000.0 / greatest(nTokens, lit(1L))).as("stopword_ratio_bp"))
+  }
+
+  /** Document fingerprinting: order-sensitive polynomial rolling hash over
+    * characters, mod 1e9+7 (fits the fold in exact int64 arithmetic on both
+    * engines), plus an order-insensitive token-sum sketch.
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val codes = transform(split(col("text"), ""), ch => ascii(ch).cast("long"))
+    val rolling = aggregate(codes, lit(0L),
+      (h, c) => (h * 31L + c) % 1000000007L)
+    val tokenSum = aggregate(
+      transform(tokens(col("text")), t => length(t).cast("long") * ascii(substring(t, 1, 1))),
+      lit(0L), (s, v) => (s + v) % 1000000007L)
+    docs.select(col("doc_id"), rolling.as("rolling_hash"), tokenSum.as("token_sketch"))
+  }
+}

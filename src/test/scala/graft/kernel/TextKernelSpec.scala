@@ -105,6 +105,15 @@ class TextKernelSpec extends AnyFunSuite {
     val cs = mk("anything", "back")
     assert(filterChrome(cs, Seq("[invalid regex("), 50) == cs)
   }
+  test("chrome: maxLength is bytes not chars") {
+    // 55 'é' = 55 chars but 110 bytes; with maxLen 100 the match is "long" -> kept
+    val n = ("é" * 55) + " battery"
+    val cs = Vector(Chunk("c0001", n, n, 0))
+    assert(filterChrome(cs, Seq("battery"), 100) == cs)
+    // same norm under a char-length rule would have been dropped (63 chars < 100)
+    val short = "aa battery aa"
+    assert(filterChrome(Vector(Chunk("c0001", short, short, 0)), Seq("battery"), 100).isEmpty)
+  }
   test("chrome: no patterns keeps all") {
     val cs = mk("1030", "back")
     assert(filterChrome(cs, Seq.empty, 50) == cs)
