@@ -79,6 +79,26 @@ object Corpus {
       concat(t, lit(" "), lit(Tail)))
   }
 
+  /** Plain-Scala twin of [[rawTextCol]] for the sequential test oracle —
+    * must stay byte-identical to the Column and SQL builders.
+    */
+  def rawTextLocal(docId: String, t: String): String = {
+    def ocr(ref: String): String =
+      s"Scanned page $ref recognized text payload with sufficient descriptive length for chunking."
+    Seq(
+      t,
+      ocr(s"img_${docId}_1.png"),
+      ChromeLine,
+      ocr(s"img_${docId}_2.jpg"),
+      t,
+      "ok",
+      t.toUpperCase(java.util.Locale.ROOT) + "!",
+      CrlfPara,
+      LongChrome,
+      s"$t $Tail"
+    ).mkString("\n\n")
+  }
+
   // SQL string literals: escape and use chr(10)/chr(13) for control chars.
   private def sqlLit(s: String): String =
     "'" + s.replace("'", "''").replace("\r", "' || chr(13) || '")

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernel._
+import graft.ops._
+import graft.jobs.ExtractionJob
+
+/** The BASELINE.json per-row invariant suite: the distributed pipeline's
+  * output span sequence (kind, text, media_ref, order) must equal, row by
+  * row per document, the sequence computed by the SEQUENTIAL oracle — the
+  * pure kernel applying the reference's semantics doc by doc.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Source (doc_id, text) rows. */
+  lazy val sourceDocs: Seq[(String, String)] = {
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** Sequential oracle: the full reference pipeline per doc via the kernel. */
+  def oraclePipeline(docId: String, text: String,
+      config: DedupeConfig = DedupeConfig()): DedupeResult = {
+    val raw = Corpus.rawTextLocal(docId, text)
+    val chunks = TextKernel.chunkText(raw, Corpus.MinChunkChars)
+    val filtered = TextKernel.filterChrome(
+      chunks, TextKernel.defaultChromePatterns, Corpus.ChromeMaxLength)
+    DedupeKernel.dedupe(filtered, config)
+  }
+
+  test("span-sequence equality: distributed pipeline == sequential oracle, row by row") {
+    val docs = Corpus.docsTable(spark, sfDir)
+    val got = ExtractionJob.outputSpans(docs)(spark)
+      .collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._4)).toMap
+
+    assert(got.size == sourceDocs.size, "one output group per doc")
+    for ((docId, text) <- sourceDocs) {
+      val expected = oraclePipeline(docId, text).kept.zipWithIndex.map {
+        case (c, i) => ("text", c.text, "", i.toLong)
+      }
+      val actual = got.getOrElse(docId, Array.empty).toSeq
+      assert(actual == expected, s"span sequence mismatch for doc $docId")
+    }
+  }
+
+  test("dropped audit: distributed == sequential oracle (reason, match, distance)") {
+    val docs = Corpus.docsTable(spark, sfDir)
+    val got = ExtractionJob.dedup(docs)(spark)
+      .filter(!col("kept"))
+      .select("doc_id", "id", "reason", "matched_id", "distance", "preview")
+      .collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getString(2), r.getString(3), r.getInt(4), r.getString(5))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+
+    for ((docId, text) <- sourceDocs) {
+      val expected = oraclePipeline(docId, text).dropped
+        .map(d => (d.chunkId, d.reason, d.matchedChunkId, d.distance, d.preview))
+        .sortBy(_._1)
+      assert(got.getOrElse(docId, Seq.empty) == expected, s"dropped mismatch for doc $docId")
+    }
+  }
+
+  test("chunker transform == kernel chunkText per doc") {
+    val docs = Corpus.docsTable(spark, sfDir)
+    val got = ExtractionJob.chunks(docs)
+      .collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._4).toSeq).toMap
+    for ((docId, text) <- sourceDocs) {
+      val expected = TextKernel
+        .chunkText(Corpus.rawTextLocal(docId, text), Corpus.MinChunkChars)
+        .map(c => (c.id, c.text, c.norm, c.index.toLong))
+      assert(got.getOrElse(docId, Seq.empty) == expected, s"chunks mismatch for doc $docId")
+    }
+  }
+
+  test("exact-dedup window transform == kernel exactHashDedupe per doc") {
+    val docs = Corpus.docsTable(spark, sfDir)
+    val filtered = ExtractionJob.filteredChunks(docs)
+    val gotKept = DedupeOps.exactKept(filtered).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    for ((docId, text) <- sourceDocs.take(100)) {
+      val raw = Corpus.rawTextLocal(docId, text)
+      val chunks = TextKernel.filterChrome(
+        TextKernel.chunkText(raw, Corpus.MinChunkChars),
+        TextKernel.defaultChromePatterns, Corpus.ChromeMaxLength)
+      val (kept, _) = DedupeKernel.exactHashDedupe(chunks)
+      assert(gotKept.getOrElse(docId, Seq.empty) == kept.map(_.id).sorted,
+        s"exact kept mismatch for doc $docId")
+    }
+  }
+
+  test("markdown render == kernel renderMarkdown + finalize per doc") {
+    val docs = Corpus.docsTable(spark, sfDir)
+    val kept = DedupeOps.exactKept(ExtractionJob.filteredChunks(docs))
+    val got = Render.markdown(kept, lit(""), includeChunkIds = true)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((docId, text) <- sourceDocs.take(100)) {
+      val raw = Corpus.rawTextLocal(docId, text)
+      val chunks = TextKernel.filterChrome(
+        TextKernel.chunkText(raw, Corpus.MinChunkChars),
+        TextKernel.defaultChromePatterns, Corpus.ChromeMaxLength)
+      val (keptChunks, _) = DedupeKernel.exactHashDedupe(chunks)
+      val expected = TextKernel.finalizeMarkdown(
+        TextKernel.renderMarkdown("", keptChunks, includeChunkIDs = true))
+      assert(got(docId) == expected, s"markdown mismatch for doc $docId")
+    }
+  }
+
+  test("banded LSH self-join == brute-force hamming pairs (exact recall for threshold < bands)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+    val sigRows = docs
+      .select(col("doc_id"), Exprs.simhash64(Exprs.normCol(col("text")), 5).as("sig"))
+      .as[(String, Long)].collect()
+    val threshold = 6
+    val expected = (for {
+      (a, sa) <- sigRows
+      (b, sb) <- sigRows
+      if a < b && Hashing.hammingDistance(sa, sb) <= threshold
+    } yield (a, b, Hashing.hammingDistance(sa, sb))).toSet
+    val sigs = sigRows.toSeq.toDF("doc_id", "sig")
+    val got = LshDedup.nearDupPairs(sigs, threshold).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == expected, s"LSH pairs != brute force (got ${got.size}, want ${expected.size})")
+  }
+
+  test("natural-sort key column reproduces kernel naturalSort ordering") {
+    import spark.implicits._
+    val names = Seq(
+      "IMG_9.jpg", "IMG_10.jpg", "IMG_2.png", "0001.jpg", "a.jpg", "1.jpg",
+      "a1.jpg", "a2.jpg", "a10.jpg", "a.x", "a1x", "ab1", "a1", "x",
+      "img_10_2.jpg", "img_9_11.png", "img_9_2.png", "café1.png", "café10.png",
+      "99999999999999999999999.png", "123.png")
+    val expected = TextKernel.naturalSort(names)
+    val got = names.toDF("name")
+      .orderBy(Exprs.naturalKey(col("name")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == expected)
+  }
+
+  test("ANN brute-force top-k matches driver-side exact computation") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for ((qid, qe) <- emb.take(25)) yield {
+      val neighbors = emb.filter(_._1 != qid)
+        .map { case (nid, ne) => (nid, math.floor(cos(qe, ne) * 10000).toLong) }
+        .sortBy { case (nid, bp) => (-bp, nid) }
+        .take(10)
+      qid -> neighbors.map(_._1).toSeq
+    }).toMap
+    val got = Similarity.annBruteForceTopK(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), 10)
+      .filter(col("query_id") < 25 || col("query_id").isin(expected.keys.toSeq.map(Long.box): _*))
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for ((qid, exp) <- expected)
+      assert(got(qid) == exp, s"top-k mismatch for query $qid")
+  }
+
+  test("stats invariants hold per doc: kept+dropped=input, exact+near=dropped") {
+    val docs = Corpus.docsTable(spark, sfDir)
+    val st = DedupeOps.stats(
+      graft.ops.DedupeOps.perDocDedupe(
+        ExtractionJob.filteredChunks(docs), DedupeConfig())(spark))
+    val bad = st.filter(
+      col("kept_count") + col("dropped_count") =!= col("input_count") ||
+        col("exact_dups") + col("near_dups") =!= col("dropped_count")).count()
+    assert(bad == 0)
+  }
+}
