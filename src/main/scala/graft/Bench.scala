@@ -1,24 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-contract benchmark main. Prints ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *    "cpus":N,"pipeline_docs":D,"pipeline_sec":S,"docs_per_sec":T}
+  *
+  * The headline measurement is the BASELINE.json metric — end-to-end
+  * extraction throughput (docs/sec) of the full pipeline (assemble ->
+  * chunk -> chrome -> exact+simhash dedup -> output spans) over the
+  * interleaved corpus, replicated deterministically so the run is long
+  * enough to measure (SPARK_GRAFT_REPLICATE, default 8).
+  *
+  * Scaling evidence (north_rule N vs 4N executors, sandboxed as parallelism
+  * levels): run this main twice with SPARK_GRAFT_CPUS=8 and =32 on the same
+  * input and compare docs_per_sec — tools/bench_scaling.sh writes
+  * BENCH/BASELINE.md from the two runs.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+
+    // headline: end-to-end extraction throughput in docs/sec
+    val docs = ops.Corpus.docsTable(spark, sfDir, replicate)
+    val nDocs = docs.count()
+    // warm-up (JIT + codegen) on a 1-replica corpus, not timed
+    jobs.ExtractionJob.outputSpans(ops.Corpus.docsTable(spark, sfDir))(spark).count()
+    val t0 = System.nanoTime()
+    val outRows = jobs.ExtractionJob.outputSpans(docs)(spark).count()
+    val pipelineSec = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = nDocs / pipelineSec
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val q0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (System.nanoTime() - q0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + pipelineSec
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","cpus":$cpus,"pipeline_docs":$nDocs,"pipeline_out_rows":$outRows""" +
+        s""","pipeline_sec":$pipelineSec,"docs_per_sec":$docsPerSec}""")
     spark.stop()
   }
 }

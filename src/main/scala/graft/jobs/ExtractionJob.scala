@@ -45,20 +45,16 @@ object ExtractionJob {
     * invariant surface. Order is the kept chunks' survivor order.
     */
   def outputSpans(docs: DataFrame, config: DedupeConfig = DedupeConfig())(
-      implicit spark: SparkSession): DataFrame = {
-    val d = dedup(docs, config)
-    val kept = d.filter(col("kept"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("idx"))
-    kept
-      .withColumn("order", row_number().over(w).cast("long") - 1)
+      implicit spark: SparkSession): DataFrame =
+    dedup(docs, config)
+      .filter(col("kept"))
       .select(
         col("doc_id"),
         lit("text").as("kind"),
         col("text"),
         lit("").as("media_ref"),
-        col("order"))
-  }
+        // kept order is emitted by the per-doc kernel — no window needed
+        col("kept_order").as("order"))
 
   /** A4 — per-doc extraction metrics (north_star: spans/doc, boilerplate
     * ratio, dedup rate), joined from the stage frames.

@@ -13,7 +13,8 @@ final case class ChunkRow(doc_id: String, id: String, text: String, norm: String
   */
 final case class DedupRow(
     doc_id: String, id: String, text: String, norm: String, idx: Long,
-    kept: Boolean, reason: String, matched_id: String, distance: Int, preview: String)
+    kept: Boolean, reason: String, matched_id: String, distance: Int, preview: String,
+    kept_order: Long) // position among the doc's kept chunks; -1 for dropped
 
 /** A1/D1/D2 — deduplication operators.
   *
@@ -86,14 +87,14 @@ object DedupeOps {
         val kernelChunks = rows.map(r => Chunk(r.id, r.text, r.norm, r.idx.toInt)).toSeq
         val result = DedupeKernel.dedupe(kernelChunks, cfg)
         val byId = rows.map(r => r.id -> r).toMap
-        val keptRows = result.kept.iterator.map { c =>
+        val keptRows = result.kept.iterator.zipWithIndex.map { case (c, ord) =>
           val r = byId(c.id)
-          DedupRow(docId, r.id, r.text, r.norm, r.idx, kept = true, "", "", 0, "")
+          DedupRow(docId, r.id, r.text, r.norm, r.idx, kept = true, "", "", 0, "", ord.toLong)
         }
         val droppedRows = result.dropped.iterator.map { d =>
           val r = byId(d.chunkId)
           DedupRow(docId, r.id, r.text, r.norm, r.idx, kept = false,
-            d.reason, d.matchedChunkId, d.distance, d.preview)
+            d.reason, d.matchedChunkId, d.distance, d.preview, -1L)
         }
         keptRows ++ droppedRows
       }

@@ -1,0 +1,149 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-STYLE snapshot layout on plain Parquet (no Iceberg runtime jar is
+  * available in this environment — documented deviation, SURVEY.md §1.2):
+  *
+  *   <root>/data/bucket=N/ parquet files      bucketed output data
+  *   <root>/_snapshots/v<k>.json           one manifest per committed run
+  *   <root>/_snapshots/current             pointer to the latest manifest
+  *   <root>/_metrics/ parquet files             per-bucket lineage + metrics rows
+  *
+  * Semantics matched to Iceberg snapshots at partition granularity:
+  * a killed run resumes from the last committed manifest — completed
+  * buckets are never recomputed; each manifest records its parent, the
+  * cumulative completed-bucket set, and per-bucket lineage (input docs,
+  * output rows, wall ms).
+  *
+  * Scale notes: buckets are hash partitions of doc_id (`pmod(xxhash64)`),
+  * which salts document PLACEMENT uniformly — the defense against
+  * large-document skew the north_rule asks for (a doc's sequential dedup
+  * can never be split, so placement is the only knob; AQE handles residual
+  * size skew within the run). One run processes ALL missing buckets in ONE
+  * Spark job (`partitionBy(bucket)` write), so resume granularity costs no
+  * extra jobs.
+  */
+object SnapshotTable {
+
+  final case class BucketLineage(
+      bucket: Int, n_docs: Long, n_rows: Long, wall_ms: Long, snapshot_id: Int)
+
+  private def snapshotsDir(root: String) = Paths.get(root, "_snapshots")
+
+  /** Read the cumulative completed-bucket set from the current manifest. */
+  def completedBuckets(root: String): Set[Int] = {
+    val cur = snapshotsDir(root).resolve("current")
+    if (!Files.exists(cur)) Set.empty
+    else {
+      val manifest = snapshotsDir(root).resolve(Files.readString(cur).trim)
+      parseCompleted(Files.readString(manifest))
+    }
+  }
+
+  private[table] def parseCompleted(json: String): Set[Int] = {
+    // minimal parser for our own manifest shape: "completed":[1,2,3]
+    val m = """"completed"\s*:\s*\[([0-9,\s]*)\]""".r
+    m.findFirstMatchIn(json) match {
+      case Some(g) if g.group(1).trim.nonEmpty =>
+        g.group(1).split(",").map(_.trim.toInt).toSet
+      case _ => Set.empty
+    }
+  }
+
+  private def currentSnapshotId(root: String): Int = {
+    val cur = snapshotsDir(root).resolve("current")
+    if (!Files.exists(cur)) 0
+    else Files.readString(cur).trim.stripPrefix("v").stripSuffix(".json").toInt
+  }
+
+  private def commitSnapshot(root: String, completed: Set[Int],
+      lineage: Seq[BucketLineage]): Int = {
+    val dir = snapshotsDir(root)
+    Files.createDirectories(dir)
+    val parent = currentSnapshotId(root)
+    val id = parent + 1
+    val lineageJson = lineage.map(l =>
+      s"""{"bucket":${l.bucket},"n_docs":${l.n_docs},"n_rows":${l.n_rows},"wall_ms":${l.wall_ms}}""")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"snapshot_id":$id,"parent_id":$parent,""" +
+        s""""timestamp":"${java.time.Instant.now()}",""" +
+        s""""completed":[${completed.toSeq.sorted.mkString(",")}],""" +
+        s""""lineage":$lineageJson}"""
+    Files.writeString(dir.resolve(s"v$id.json"), json, UTF_8)
+    // atomic-enough pointer flip (single writer; real Iceberg uses a catalog CAS)
+    val tmp = dir.resolve("current.tmp")
+    Files.writeString(tmp, s"v$id.json", UTF_8)
+    Files.move(tmp, dir.resolve("current"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    id
+  }
+
+  /** Resumable bucketed materialization of `pipeline(docs)`:
+    * processes only buckets missing from the current snapshot (at most
+    * `maxBucketsPerRun` of them, which is how a kill is simulated in tests),
+    * appends their data + a new manifest + lineage/metrics rows. Returns
+    * the set of buckets completed by THIS run.
+    */
+  def runResumable(
+      docs: DataFrame,
+      pipeline: DataFrame => DataFrame,
+      root: String,
+      nBuckets: Int,
+      maxBucketsPerRun: Int = Int.MaxValue)(implicit spark: SparkSession): Set[Int] = {
+    val done = completedBuckets(root)
+    val missing = (0 until nBuckets).filterNot(done).take(maxBucketsPerRun)
+    if (missing.isEmpty) return Set.empty
+
+    // Clean uncommitted partials: a kill mid-write leaves bucket dirs with no
+    // manifest entry; Iceberg readers only see manifest-listed files — our
+    // equivalent is deleting un-snapshotted bucket dirs before reprocessing,
+    // which makes resume idempotent.
+    for (b <- missing) {
+      val dir = Paths.get(root, "data", s"bucket=$b")
+      if (Files.exists(dir)) {
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+
+    val t0 = System.currentTimeMillis()
+    val bucketed = docs.withColumn("bucket",
+      pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
+    val subset = bucketed.filter(col("bucket").isin(missing.map(Int.box): _*))
+    val out = pipeline(subset.drop("bucket"))
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
+
+    out.write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$root/data")
+
+    // lineage: per-bucket doc/row counts for THIS run
+    val counts = out.groupBy("bucket").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("doc_id")).as("n_docs"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wall = System.currentTimeMillis() - t0
+    val id = currentSnapshotId(root) + 1
+    val lineage = missing.map { b =>
+      val (rows, docsN) = counts.getOrElse(b, (0L, 0L))
+      BucketLineage(b, docsN, rows, wall / missing.size, id)
+    }
+    commitSnapshot(root, done ++ missing, lineage)
+
+    import spark.implicits._
+    lineage.toDF().write.mode(SaveMode.Append).parquet(s"$root/_metrics")
+    missing.toSet
+  }
+
+  /** Read the materialized table back (all committed buckets). */
+  def read(root: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/data")
+
+  /** Lineage/metrics table. */
+  def metrics(root: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/_metrics")
+}
