@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions registering the graft native expressions for SQL:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  *   SELECT simhash64(norm, 5), fnv1a64(s) FROM ...
+  *
+  * (The Scala DSL path goes through graft.ops.Exprs and does not need the
+  * extension.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[SimHash64Expr].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(str, k) - 64-bit SimHash over byte k-grams (FNV-1a)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "simhash64(str, k) takes 2 arguments")
+        val k = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"simhash64 k must be an integer literal, got $other")
+        }
+        SimHash64Expr(exprs.head, k)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("fnv1a64"),
+      info("fnv1a64", "fnv1a64(str) - FNV-1a 64-bit hash of the UTF-8 bytes"),
+      (exprs: Seq[Expression]) => Fnv1a64Expr(exprs.head)))
+  }
+}

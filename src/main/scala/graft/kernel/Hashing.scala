@@ -55,8 +55,14 @@ object Hashing {
     */
   def simhash64(text: String, k: Int): Long = {
     if (text.isEmpty || k <= 0) return 0L
-    val bytes = text.getBytes(UTF_8)
-    if (bytes.length < k) return 0L
+    simhash64Bytes(text.getBytes(UTF_8), k)
+  }
+
+  /** Byte-level core of [[simhash64]] — also the codegen target of the
+    * Catalyst expression (works straight off UTF8String bytes).
+    */
+  def simhash64Bytes(bytes: Array[Byte], k: Int): Long = {
+    if (k <= 0 || bytes.length < k) return 0L
     val vector = new Array[Int](64)
     var i = 0
     while (i <= bytes.length - k) {

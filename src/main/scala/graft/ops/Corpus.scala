@@ -135,6 +135,15 @@ object Corpus {
     val base =
       if (replicate <= 1) base0.withColumn("doc_id", col("src_id"))
       else base0
+        // the tiny synthetic source reads as ~1 input split; a 100TB table
+        // has thousands. Repartitioning the (tiny) pre-explode rows
+        // reconstructs realistic input parallelism so the map side scales
+        // with cores — the shuffle moves only the small source rows.
+        // EXPLICIT partition count: AQE sizes coalescing by the exchange's
+        // bytes, which are tiny BEFORE the x-replicate explode — it would
+        // coalesce to 1 task and serialize the whole map side (observed).
+        // A user-specified count is exempt from AQE coalescing.
+        .repartition(spark.sparkContext.defaultParallelism * 4, col("src_id"))
         .withColumn("rep", explode(sequence(lit(0), lit(replicate - 1))))
         .withColumn("doc_id", concat_ws("_", col("src_id"), col("rep")))
     val t = col("text")

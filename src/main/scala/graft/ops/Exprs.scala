@@ -60,16 +60,20 @@ object Exprs {
   }
 
   /** H3 — simhash64 over byte k-grams (reference: internal/dedupe/
-    * dedupe.go:150-185). A deterministic scalar UDF for v1; semantics are
-    * locked by the kernel fixture tests. (A codegen `Expression` variant is
-    * a perf-only upgrade — SURVEY.md §7.3.)
+    * dedupe.go:150-185) as a native codegen Catalyst expression
+    * (graft.functions.SimHash64Expr); semantics locked by the kernel
+    * fixture tests and the expression/kernel parity spec.
     */
-  private val simhashU = udf((s: String, k: Int) => Hashing.simhash64(s, k))
-  def simhash64(c: Column, k: Int): Column = simhashU(c, lit(k))
+  def simhash64(c: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.SimHash64Expr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), k))
 
   /** H1 — FNV-1a 64 (reference: internal/dedupe/dedupe.go:140-147). */
-  private val fnvU = udf((s: String) => Hashing.fnv1a64(s))
-  def fnv1a64(c: Column): Column = fnvU(c)
+  def fnv1a64(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.Fnv1a64Expr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 
   /** Byte-exact preview truncation (reference slices Go bytes at 200/500:
     * internal/dedupe/dedupe.go:97-101, internal/text/text.go:187-191).

