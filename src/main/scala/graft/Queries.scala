@@ -146,6 +146,30 @@ object Queries {
     "q30_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docsOf(s, dir))),
     "q31_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docsOf(s, dir))),
 
+    // ---- S5 report + config variants ----
+    "q34_s5_report" -> ((s, dir) => {
+      val d = ExtractionJob.dedup(corpus(s, dir))(s)
+      val dropped = sort_array(collect_list(when(!col("kept"),
+        struct(col("id").as("chunk_id"), col("reason"),
+          col("matched_id").as("matched_chunk_id"),
+          col("distance"), col("preview")))))
+      d.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("input_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("dropped"),
+        sum(when(col("reason") === "exact_duplicate", 1L).otherwise(0L)).as("exact_dups"),
+        sum(when(col("reason") === "near_duplicate", 1L).otherwise(0L)).as("near_dups"),
+        to_json(dropped).as("dropped_list"))
+        .withColumn("method", lit("simhash"))
+        .withColumn("simhash_k", lit(5))
+        .withColumn("simhash_threshold", lit(6))
+        .withColumn("window", lit(250))
+    }),
+
+    "q35_dedup_window1" -> ((s, dir) =>
+      ExtractionJob.dedup(corpus(s, dir), DedupeConfig(window = 1))(s)
+        .filter(col("kept")).select("doc_id", "id", "idx")),
+
     // ---- multimodal ----
     "q32_media_meta" -> ((s, dir) => Multimodal.mediaMeta(corpus(s, dir))),
     "q33_media_decode" -> ((s, dir) =>

@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions._
   *   7   text  CrlfPara (contains \r\n)              CRLF normalize/chunk
   *   8   text  LongChrome (>=100B norm, matches)     keep-long-chrome rule
   *   9   text  t + " " + Tail                        near duplicate (simhash)
+  *   10  text  AccentPara (non-ASCII, 68B/51ch)      byte semantics on oracle path
   *
   * The "OCR function" (the reference shells out to ocrmypdf,
   * internal/pipeline/pipeline.go:87-102; here it must be a deterministic
@@ -47,6 +48,13 @@ object Corpus {
     "First line with some words here\r\nsecond line continues the same paragraph nicely"
   val Tail =
     "plus appended tail words that modify the ending slightly"
+  /** Accented constant span — puts the byte-vs-char semantics (60-BYTE
+    * min-chunk, byte k-grams) on the ORACLE-checked path, not just unit
+    * tests: 51 chars (< 60, a char-length rule would DROP it) but 68 UTF-8
+    * bytes (>= 60, the reference's Go byte rule KEEPS it).
+    */
+  val AccentPara =
+    "Café résumé naïvé jälapeño àéîõü über çédille œuvré"
 
   /** Deterministic OCR stand-in: media_ref -> recognized text (>=60 bytes,
     * unique per ref so OCR output is never deduped away).
@@ -76,7 +84,8 @@ object Corpus {
       concat(upper(t), lit("!")),
       lit(CrlfPara),
       lit(LongChrome),
-      concat(t, lit(" "), lit(Tail)))
+      concat(t, lit(" "), lit(Tail)),
+      lit(AccentPara))
   }
 
   /** Plain-Scala twin of [[rawTextCol]] for the sequential test oracle —
@@ -95,7 +104,8 @@ object Corpus {
       t.toUpperCase(java.util.Locale.ROOT) + "!",
       CrlfPara,
       LongChrome,
-      s"$t $Tail"
+      s"$t $Tail",
+      AccentPara
     ).mkString("\n\n")
   }
 
@@ -121,7 +131,8 @@ object Corpus {
       s"upper($t) || '!'",
       sqlLit(CrlfPara),
       sqlLit(LongChrome),
-      s"$t || ' ' || ${sqlLit(Tail)}"
+      s"$t || ' ' || ${sqlLit(Tail)}",
+      sqlLit(AccentPara)
     ).mkString(" || " + nn + " || ")
   }
 
@@ -164,7 +175,8 @@ object Corpus {
         span("text", concat(upper(t), lit("!")), e, 6),
         span("text", lit(CrlfPara), e, 7),
         span("text", lit(LongChrome), e, 8),
-        span("text", concat(t, lit(" "), lit(Tail)), e, 9)
+        span("text", concat(t, lit(" "), lit(Tail)), e, 9),
+        span("text", lit(AccentPara), e, 10)
       ).as("spans"))
   }
 

@@ -184,6 +184,34 @@ class PipelineSpec extends AnyFunSuite {
       assert(got(qid) == exp, s"top-k mismatch for query $qid")
   }
 
+  test("config variants match oracle: window=1, method=both, method=exact") {
+    val docs = Corpus.docsTable(spark, sfDir)
+    for (cfg <- Seq(
+        DedupeConfig(window = 1),
+        DedupeConfig(method = "both"),
+        DedupeConfig(method = "exact"),
+        DedupeConfig(simHashThreshold = 12, window = 0))) {
+      val got = ExtractionJob.dedup(docs, cfg)(spark)
+        .filter(col("kept")).select("doc_id", "id")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      for ((docId, text) <- sourceDocs.take(60)) {
+        val expected = oraclePipeline(docId, text, cfg).kept.map(_.id).sorted
+        assert(got.getOrElse(docId, Seq.empty) == expected,
+          s"kept mismatch for doc $docId with config $cfg")
+      }
+    }
+  }
+
+  test("accented span survives the 60-BYTE filter on the distributed path") {
+    val docs = Corpus.docsTable(spark, sfDir)
+    val accent = ExtractionJob.chunks(docs)
+      .filter(col("text") === Corpus.AccentPara)
+    // 51 chars < 60: a char-length rule would drop it in every doc;
+    // 68 bytes >= 60: the reference byte rule keeps it in every doc
+    assert(accent.count() == sourceDocs.size.toLong)
+  }
+
   test("stats invariants hold per doc: kept+dropped=input, exact+near=dropped") {
     val docs = Corpus.docsTable(spark, sfDir)
     val st = DedupeOps.stats(
