@@ -52,3 +52,45 @@ case class Fnv1a64Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Fnv1a64Expr =
     copy(child = newChild)
 }
+
+/** Static eval target for the float-vector dot product. Left-fold in element
+  * order with double accumulation — bit-identical to the
+  * zip_with+aggregate formulation AND to DuckDB's list fold, so the oracle
+  * comparison stays exact.
+  */
+object FloatDotEval {
+  def eval(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+}
+
+/** Dot product over two Array[Float] columns as a codegen expression.
+  * The built-in formulation (aggregate over zip_with) is interpreted —
+  * higher-order functions have no doGenCode — and costs ~100x more per pair
+  * (observed dominating the sf0.1 bench via jstack).
+  */
+case class FloatDotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "float_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FloatDotEval.eval(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FloatDotEval.eval($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotExpr =
+    copy(left = newLeft, right = newRight)
+}

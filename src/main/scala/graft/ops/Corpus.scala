@@ -143,18 +143,18 @@ object Corpus {
   def docsTable(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
     val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("string").as("src_id"), col("text"))
+      // The synthetic source is ONE parquet row group => exactly one input
+      // split (row groups are indivisible; maxPartitionBytes cannot help),
+      // which would serialize every downstream map stage. Hash-repartition
+      // the small source rows to restore the input parallelism a many-split
+      // production table gets from its scan. EXPLICIT count: AQE sizes
+      // coalescing by the exchange's bytes, which are tiny BEFORE the
+      // corpus expansion — it coalesced this to 1 task (observed);
+      // user-specified counts are exempt.
+      .repartition(spark.sparkContext.defaultParallelism * 4, col("src_id"))
     val base =
       if (replicate <= 1) base0.withColumn("doc_id", col("src_id"))
       else base0
-        // the tiny synthetic source reads as ~1 input split; a 100TB table
-        // has thousands. Repartitioning the (tiny) pre-explode rows
-        // reconstructs realistic input parallelism so the map side scales
-        // with cores — the shuffle moves only the small source rows.
-        // EXPLICIT partition count: AQE sizes coalescing by the exchange's
-        // bytes, which are tiny BEFORE the x-replicate explode — it would
-        // coalesce to 1 task and serialize the whole map side (observed).
-        // A user-specified count is exempt from AQE coalescing.
-        .repartition(spark.sparkContext.defaultParallelism * 4, col("src_id"))
         .withColumn("rep", explode(sequence(lit(0), lit(replicate - 1))))
         .withColumn("doc_id", concat_ws("_", col("src_id"), col("rep")))
     val t = col("text")

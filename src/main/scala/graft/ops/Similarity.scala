@@ -30,15 +30,22 @@ object Similarity {
 
   // ---------- word-shingle machinery ----------
 
-  /** Distinct `n`-word shingles per doc. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    array_distinct(
-      filter(
-        transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-          i => concat_ws(" ", slice(toks, i, lit(n)))),
-        s => s =!= ""))
+  /** Distinct `n`-word shingles per doc. A compiled UDF: the higher-order-
+    * function formulation (transform over sequence + slice + concat_ws) is
+    * interpreted per element and dominated the sf0.1 bench; it also had a
+    * latent bug — Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
+    * empty array, fabricating shingles for sub-n-token docs. Token rule and
+    * output match the DuckDB oracle exactly (ASCII-ws split, drop empties,
+    * n-token windows joined by ' ', distinct).
+    */
+  private val shinglesU = udf { (text: String, n: Int) =>
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[\t\n\f\r ]+").filter(_.nonEmpty)
+    if (toks.length < n) Array.empty[String]
+    else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
   }
+
+  def shingles(text: Column, n: Int): Column = shinglesU(text, lit(n))
 
   /** N-gram Jaccard near-dup pairs: explode distinct shingles, self-join on
     * shingle (candidates must share >= 1), count shared, Jaccard =
@@ -135,12 +142,17 @@ object Similarity {
 
   // ---------- embedding similarity ----------
 
-  /** Left-fold double dot product — the fold order is fixed so results are
-    * IEEE-identical to DuckDB's list fold in the oracle.
+  /** Left-fold double dot product as a native codegen expression
+    * (graft.functions.FloatDotExpr) — the built-in aggregate-over-zip_with
+    * is interpreted (no codegen for higher-order functions) and was ~100x
+    * slower per pair. Fold order matches DuckDB's list fold exactly, so
+    * oracle comparisons stay bit-identical.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (s, v) => s + v)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.FloatDotExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
@@ -148,28 +160,35 @@ object Similarity {
 
   /** Embedding cosine near-dup pairs above a quantized threshold.
     * Brute-force O(n^2) candidate space — correct baseline; the scale path
-    * is [[annLshTopK]] (bucketed). Projections carry only (id, vector).
+    * is [[annLshTopK]] (bucketed). Norms are precomputed ONCE per vector on
+    * each join side, so per-pair work is a single fused dot product.
     */
   def embeddingNearDupPairs(emb: DataFrame, thresholdBp: Long): DataFrame = {
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      norm2(col("embedding")).as("n_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      norm2(col("embedding")).as("n_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_bp", floor(cosine(col("e_a"), col("e_b")) * 10000))
+      .withColumn("cos_bp",
+        floor(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")) * 10000))
       .filter(col("cos_bp") >= thresholdBp)
       .select("id_a", "id_b", "cos_bp")
   }
 
   /** Brute-force cosine top-k neighbors per query vector — the exact-recall
     * ANN baseline. Window top-k with deterministic (score desc, id asc)
-    * tie-break.
+    * tie-break; norms precomputed per side.
     */
   def annBruteForceTopK(emb: DataFrame, k: Int): DataFrame = {
-    val a = emb.select(col("vec_id").as("query_id"), col("embedding").as("e_q"))
-    val b = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_n"))
+    val a = emb.select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+      norm2(col("embedding")).as("n_q"))
+    val b = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_n"),
+      norm2(col("embedding")).as("n_n"))
     val scored = a.crossJoin(b)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_bp", floor(cosine(col("e_q"), col("e_n")) * 10000))
+      .withColumn("cos_bp",
+        floor(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")) * 10000))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -216,6 +235,8 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_bp", floor(cosine(col("e_q"), col("e_n")) * 10000))
       .select("query_id", "neighbor_id", "cos_bp").distinct()
+    // (bucket collisions are rare relative to the cross product, so the
+    // cosine here stays the simple fused form)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w).cast("long"))
