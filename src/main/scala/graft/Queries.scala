@@ -40,16 +40,9 @@ object Queries {
     "q06_a1_exact_dropped" -> ((s, dir) =>
       DedupeOps.exactDropped(ExtractionJob.filteredChunks(corpus(s, dir)))),
 
-    "q07_a2_stats_exact" -> ((s, dir) => {
-      val kept = DedupeOps.exactKept(ExtractionJob.filteredChunks(corpus(s, dir)))
-        .groupBy("doc_id").agg(count(lit(1)).as("kept_count"))
-      val dropped = DedupeOps.exactDropped(ExtractionJob.filteredChunks(corpus(s, dir)))
-        .groupBy("doc_id").agg(count(lit(1)).as("dropped_count"))
-      kept.join(dropped, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("kept_count"),
-          coalesce(col("dropped_count"), lit(0L)).as("dropped_count"),
-          (col("kept_count") + coalesce(col("dropped_count"), lit(0L))).as("input_count"))
-    }),
+    "q07_a2_stats_exact" -> ((s, dir) =>
+      DedupeOps.exactStats(ExtractionJob.filteredChunks(corpus(s, dir)))
+        .select("doc_id", "kept_count", "dropped_count", "input_count")),
 
     "q08_a3_markdown" -> ((s, dir) =>
       Render.markdown(
@@ -147,19 +140,22 @@ object Queries {
     "q31_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docsOf(s, dir))),
 
     // ---- S5 report + config variants ----
+    // The reference report's dropped list (report.go:24-29) is carried as a
+    // deterministic digest (md5 over the sorted "id|reason|matched|distance"
+    // entries) so the whole report row is oracle-checkable; the full audit
+    // rows themselves are the (also oracled) q16 surface.
     "q34_s5_report" -> ((s, dir) => {
       val d = ExtractionJob.dedup(corpus(s, dir))(s)
-      val dropped = sort_array(collect_list(when(!col("kept"),
-        struct(col("id").as("chunk_id"), col("reason"),
-          col("matched_id").as("matched_chunk_id"),
-          col("distance"), col("preview")))))
+      val droppedEntry = when(!col("kept"),
+        concat_ws("|", col("id"), col("reason"), col("matched_id"),
+          col("distance").cast("string")))
       d.groupBy(col("doc_id")).agg(
         count(lit(1)).as("input_chunks"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("kept"),
         sum(when(!col("kept"), 1L).otherwise(0L)).as("dropped"),
         sum(when(col("reason") === "exact_duplicate", 1L).otherwise(0L)).as("exact_dups"),
         sum(when(col("reason") === "near_duplicate", 1L).otherwise(0L)).as("near_dups"),
-        to_json(dropped).as("dropped_list"))
+        md5(concat_ws(";", sort_array(collect_list(droppedEntry)))).as("dropped_digest"))
         .withColumn("method", lit("simhash"))
         .withColumn("simhash_k", lit(5))
         .withColumn("simhash_threshold", lit(6))
@@ -197,7 +193,7 @@ object Queries {
     "q06_a1_exact_dropped" ->
       (s"$ChunkCte SELECT doc_id, id AS chunk_id, 'exact_duplicate' AS reason, " +
         "first_id AS matched_chunk_id, 0 AS distance, " +
-        "CASE WHEN strlen(text) > 200 THEN substr(text, 1, 200) || '...' ELSE text END AS preview " +
+        s"${OracleHash.previewSql("text", 200)} AS preview " +
         "FROM exact_ranked WHERE rn > 1"),
 
     "q07_a2_stats_exact" ->
@@ -214,7 +210,7 @@ object Queries {
 
     "q09_s3_jsonl" ->
       (s"$ChunkCte SELECT doc_id, id, " +
-        "CASE WHEN strlen(text) > 500 THEN substr(text, 1, 500) || '...' ELSE text END AS text, " +
+        s"${OracleHash.previewSql("text", 500)} AS text, " +
         "idx AS index, strlen(text) AS len FROM filtered"),
 
     "q10_p1_stage_names" ->
@@ -248,6 +244,172 @@ object Queries {
         s"CAST(floor(SUM(CASE WHEN ${chromeKeep("norm")} THEN 0 ELSE 1 END) * 10000.0 / COUNT(*)) AS BIGINT) AS boilerplate_ratio_bp " +
         "FROM chunks GROUP BY doc_id"),
 
+    // ---- simhash/greedy-dedup oracles: the 64-bit signatures are recomputed
+    // INDEPENDENTLY in DuckDB (HUGEINT modular FNV-1a over hex-extracted
+    // bytes + vectorized bit counting), and the reference's order-dependent
+    // greedy windowed scan runs as a RECURSIVE CTE — see graft.OracleHash ----
+
+    "q15_d1_dedup_kept" ->
+      (s"""$ChunkCteRec${dedupCte()}
+         |SELECT s.doc_id, s.id, s.text, s.norm, s.idx
+         |FROM g_v v JOIN g_sigs s ON v.doc_id = s.doc_id AND v.v_id = s.id
+         |WHERE v.v_kept""").stripMargin,
+
+    "q16_d1_dedup_dropped" ->
+      (s"""$ChunkCteRec${dedupCte()}
+         |SELECT doc_id, id AS chunk_id, 'exact_duplicate' AS reason, first_id AS matched_id,
+         |       0 AS distance, ${OracleHash.previewSql("text", 200)} AS preview
+         |FROM exact_ranked WHERE rn > 1
+         |UNION ALL
+         |SELECT v.doc_id, v.v_id AS chunk_id, 'near_duplicate' AS reason, v.v_match AS matched_id,
+         |       v.v_dist AS distance, ${OracleHash.previewSql("s.text", 200)} AS preview
+         |FROM g_v v JOIN g_sigs s ON v.doc_id = s.doc_id AND v.v_id = s.id
+         |WHERE NOT v.v_kept""").stripMargin,
+
+    "q17_pipeline_spans" ->
+      (s"""$ChunkCteRec${dedupCte()}
+         |SELECT v.doc_id, 'text' AS kind, s.text, '' AS media_ref, v.v_korder AS "order"
+         |FROM g_v v JOIN g_sigs s ON v.doc_id = s.doc_id AND v.v_id = s.id
+         |WHERE v.v_kept""").stripMargin,
+
+    "q18_pipeline_metrics" ->
+      (s"""$ChunkCteRec${dedupCte()},
+         |m_ch AS (SELECT doc_id, COUNT(*) AS n_chunks,
+         |    CAST(SUM(CASE WHEN ${chromeKeep("norm")} THEN 0 ELSE 1 END) AS BIGINT) AS n_chrome_dropped
+         |  FROM chunks GROUP BY doc_id),
+         |m_ex AS (SELECT doc_id, COUNT(*) AS input_count,
+         |    CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_dups
+         |  FROM exact_ranked GROUP BY doc_id),
+         |m_sim AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN v_kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_count,
+         |    CAST(SUM(CASE WHEN v_kept THEN 0 ELSE 1 END) AS BIGINT) AS near_dups
+         |  FROM g_v GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(11 AS BIGINT) AS n_spans, c.n_chunks, c.n_chrome_dropped,
+         |       e.input_count, s.kept_count,
+         |       e.exact_dups + s.near_dups AS dropped_count, e.exact_dups, s.near_dups,
+         |       CAST(floor(c.n_chrome_dropped * 10000.0 / c.n_chunks) AS BIGINT) AS boilerplate_ratio_bp,
+         |       CAST(floor((e.exact_dups + s.near_dups) * 10000.0 / e.input_count) AS BIGINT) AS dedup_rate_bp
+         |FROM m_ch c JOIN m_ex e USING (doc_id) JOIN m_sim s USING (doc_id)""").stripMargin,
+
+    "q19_d2_both_kept" ->
+      (s"""$ChunkCteRec${dedupCte(fullInput = true)}
+         |SELECT v.doc_id, v.v_id AS id, v.v_idx AS idx
+         |FROM g_v v JOIN exact_ranked e ON v.doc_id = e.doc_id AND v.v_id = e.id
+         |WHERE v.v_kept AND e.rn = 1""").stripMargin,
+
+    "q35_dedup_window1" ->
+      (s"""$ChunkCteRec${dedupCte(window = 1)}
+         |SELECT v.doc_id, v.v_id AS id, v.v_idx AS idx FROM g_v v WHERE v.v_kept""").stripMargin,
+
+    "q34_s5_report" ->
+      (s"""$ChunkCteRec${dedupCte()},
+         |r_drop AS (
+         |  SELECT doc_id, id AS chunk_id, 'exact_duplicate' AS reason, first_id AS matched_id, 0 AS distance
+         |  FROM exact_ranked WHERE rn > 1
+         |  UNION ALL
+         |  SELECT doc_id, v_id, 'near_duplicate', v_match, v_dist FROM g_v WHERE NOT v_kept),
+         |r_base AS (SELECT doc_id, COUNT(*) AS input_chunks FROM exact_ranked GROUP BY doc_id),
+         |r_ent AS (SELECT doc_id, reason,
+         |    chunk_id || '|' || reason || '|' || matched_id || '|' || CAST(distance AS VARCHAR) AS entry
+         |  FROM r_drop),
+         |r_dig AS (SELECT doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS dropped,
+         |    CAST(SUM(CASE WHEN reason = 'exact_duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS exact_dups,
+         |    CAST(SUM(CASE WHEN reason = 'near_duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS near_dups,
+         |    md5(string_agg(entry, ';' ORDER BY entry)) AS dropped_digest
+         |  FROM r_ent GROUP BY doc_id)
+         |SELECT b.doc_id, b.input_chunks,
+         |       b.input_chunks - COALESCE(d.dropped, 0) AS kept,
+         |       COALESCE(d.dropped, CAST(0 AS BIGINT)) AS dropped,
+         |       COALESCE(d.exact_dups, CAST(0 AS BIGINT)) AS exact_dups,
+         |       COALESCE(d.near_dups, CAST(0 AS BIGINT)) AS near_dups,
+         |       COALESCE(d.dropped_digest, md5('')) AS dropped_digest,
+         |       'simhash' AS method, 5 AS simhash_k, 6 AS simhash_threshold, 250 AS "window"
+         |FROM r_base b LEFT JOIN r_dig d USING (doc_id)""").stripMargin,
+
+    "q20_h3_doc_sigs" ->
+      (s"""WITH d0 AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, ${norm(Raw)} AS nrm,
+         |            CAST(doc_id AS VARCHAR) AS rk FROM documents),
+         |${OracleHash.simhashCtes("d0", "nrm", 5, "dsig")}
+         |SELECT doc_id, sig FROM dsig""").stripMargin,
+
+    "q21_lsh_doc_pairs" ->
+      (s"""WITH d0 AS (SELECT doc_id, ${norm("text")} AS nrm, CAST(doc_id AS VARCHAR) AS rk FROM documents),
+         |${OracleHash.simhashCtes("d0", "nrm", 5, "dsig")},
+         |keyed AS (SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM dsig),
+         |kb AS (SELECT doc_id, sig, band,
+         |       (${toUnsigned("sig")} >> CAST(band * 8 AS INT)) & 255 AS band_key FROM keyed)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS distance
+         |FROM kb a JOIN kb b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 6""").stripMargin,
+
+    "q24_minhash_lsh_pairs" -> {
+      val mixCols = (0 until 16).map(i => s"${OracleHash.minhashMix("h", i)} AS m$i").mkString(", ")
+      val minCols = (0 until 16).map(i => s"MIN(m$i) AS m$i").mkString(", ")
+      val allM = (0 until 16).map(i => s"m$i").mkString(", ")
+      val bandSel = (0 until 4).map { b =>
+        val key = (b * 4 until b * 4 + 4).map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, $key AS bkey, $allM FROM msig"
+      }.mkString(" UNION ALL ")
+      val agreeExpr = (0 until 16).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH ${shingleSets(3)},
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sized),
+         |mh AS (SELECT doc_id, ${OracleHash.fnvOf("shingle")} AS h FROM ex),
+         |mx AS (SELECT doc_id, $mixCols FROM mh),
+         |msig AS (SELECT doc_id, $minCols FROM mx GROUP BY doc_id),
+         |bands AS ($bandSel)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST($agreeExpr AS INT) AS agree
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |WHERE $agreeExpr >= 8""".stripMargin
+    },
+
+    "q27_ann_lsh_topk" ->
+      (s"""WITH hp AS (
+         |  SELECT bb.b AS bit, dd.d AS dim,
+         |         CASE WHEN (${OracleHash.fnvOf("'hp:' || bb.b || ':' || dd.d")}) % 2 = 0
+         |              THEN -1.0 ELSE 1.0 END AS sgn
+         |  FROM range(0, 12) bb(b),
+         |       (SELECT unnest(range(0, len(embedding))) AS d
+         |        FROM (SELECT embedding FROM embeddings LIMIT 1)) dd(d)),
+         |hpr AS (SELECT bit, list(sgn ORDER BY dim) AS w FROM hp GROUP BY bit),
+         |sb AS (SELECT v.vec_id, h.bit,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(v.embedding, h.w), p -> CAST(p[1] AS DOUBLE) * p[2])),
+         |      (s, x) -> s + x) AS s
+         |  FROM embeddings v, hpr h),
+         |bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN (1 << bit) ELSE 0 END) AS INT) AS bucket
+         |  FROM sb GROUP BY vec_id),
+         |prb AS (SELECT vec_id AS query_id, bucket FROM bkt
+         |  UNION ALL
+         |  SELECT b.vec_id, CAST(xor(CAST(b.bucket AS BIGINT), 1 << r.i) AS INT) FROM bkt b, range(0, 12) r(i)),
+         |cand AS (SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+         |  FROM prb p JOIN bkt n ON p.bucket = n.bucket AND p.query_id <> n.vec_id),
+         |scored AS (SELECT c.query_id, c.neighbor_id, ${cosBp("q.embedding", "n.embedding")} AS cos_bp
+         |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+         |              JOIN embeddings n ON n.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, cos_bp, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 10""").stripMargin,
+
+    "q33_media_decode" ->
+      (s"""WITH media AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         |         unnest(['img_' || CAST(doc_id AS VARCHAR) || '_1.png',
+         |                 'img_' || CAST(doc_id AS VARCHAR) || '_2.jpg']) AS media_ref
+         |  FROM documents),
+         |pay AS (SELECT doc_id, media_ref, 'IMGDATA:' || media_ref || ':' || repeat('x', 64) AS payload FROM media),
+         |hh AS (SELECT doc_id, media_ref, payload, ${OracleHash.fnvOf("payload")} AS h FROM pay)
+         |SELECT doc_id, media_ref,
+         |  CASE regexp_extract(media_ref, '([^.]*)$$', 1) WHEN 'png' THEN 'png'
+         |       WHEN 'jpg' THEN 'jpeg' WHEN 'jpeg' THEN 'jpeg'
+         |       ELSE regexp_extract(media_ref, '([^.]*)$$', 1) END AS format,
+         |  CAST(strlen(payload) AS BIGINT) AS n_bytes,
+         |  CAST(640 + ((CAST(${OracleHash.toSigned("h")} AS HUGEINT) % 1280 + 1280) % 1280) AS BIGINT) AS width,
+         |  CAST(480 + (CAST(h AS UBIGINT) >> 17) % 720 AS BIGINT) AS height,
+         |  CAST(5000 + (CAST(h AS UBIGINT) >> 32) % 5000 AS BIGINT) AS ocr_conf_bp
+         |FROM hh""").stripMargin,
+
     "q22_dedup_exact_chunks" ->
       (s"$ChunkCte SELECT md5(norm) AS norm_md5, " +
         "MIN(doc_id || '/' || id) AS keep_chunk, COUNT(*) AS n_copies " +
@@ -274,23 +436,6 @@ object Queries {
          |SELECT doc_a, doc_b, common,
          |       CAST(floor(common * 10000.0 / (size_a + size_b - common)) AS BIGINT) AS jaccard_bp
          |FROM pairs WHERE CAST(floor(common * 10000.0 / (size_a + size_b - common)) AS BIGINT) >= 1000""").stripMargin,
-
-    "q25_embed_cos_pairs" ->
-      ("""WITH a AS (SELECT vec_id AS id_a, embedding AS e_a FROM embeddings),
-         |     b AS (SELECT vec_id AS id_b, embedding AS e_b FROM embeddings)
-         |SELECT id_a, id_b, CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_a, e_b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v) / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_a, e_a), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)) * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_b, e_b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)))) * 10000) AS BIGINT) AS cos_bp
-         |FROM a JOIN b ON id_a < id_b
-         |WHERE CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_a, e_b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v) / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_a, e_a), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)) * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_b, e_b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)))) * 10000) AS BIGINT) >= 2500""").stripMargin,
-
-    "q26_ann_topk" ->
-      ("""WITH a AS (SELECT vec_id AS query_id, embedding AS e_q FROM embeddings),
-         |     b AS (SELECT vec_id AS neighbor_id, embedding AS e_n FROM embeddings),
-         |     scored AS (
-         |  SELECT query_id, neighbor_id, CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_q, e_n), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v) / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_q, e_q), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)) * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e_n, e_n), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)))) * 10000) AS BIGINT) AS cos_bp
-         |  FROM a JOIN b ON query_id <> neighbor_id)
-         |SELECT query_id, neighbor_id, cos_bp, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id) AS rank
-         |  FROM scored) WHERE rank <= 10""").stripMargin,
 
     "q25_embed_cos_pairs" ->
       ("""WITH a AS (SELECT vec_id AS id_a, embedding AS e_a FROM embeddings),

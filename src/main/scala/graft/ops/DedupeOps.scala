@@ -63,6 +63,17 @@ object DedupeOps {
         lit(0).as("distance"),
         Exprs.byteTruncate(col("text"), 200).as("preview"))
 
+  /** A2 (exact method) — per-doc kept/dropped/input counts in ONE pass over
+    * the ranked chunks via conditional aggregation (reference:
+    * internal/dedupe/dedupe.go:336-358). Replaces the former two-pipeline
+    * join shape: one chunker subtree, one window, one aggregate.
+    */
+  def exactStats(chunks: DataFrame): DataFrame =
+    exactRanked(chunks).groupBy(col("doc_id")).agg(
+      sum(when(col("_rn") === 1, 1L).otherwise(0L)).as("kept_count"),
+      sum(when(col("_rn") > 1, 1L).otherwise(0L)).as("dropped_count"),
+      count(lit(1)).as("input_count"))
+
   /** A2 — dedup stats per doc (reference: internal/dedupe/dedupe.go:336-358). */
   def stats(dedup: Dataset[DedupRow]): DataFrame =
     dedup.groupBy(col("doc_id")).agg(

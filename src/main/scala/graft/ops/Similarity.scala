@@ -118,12 +118,17 @@ object Similarity {
     val rowsPerBand = MinHashFns / MinHashBands
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
-      .withColumn("bucket", hash(col("band"),
-        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      .withColumn("bslice", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
+      // the murmur bucket is the narrow shuffle key; the band VALUES ride
+      // along so candidate semantics are hash-collision-free (share >= 1
+      // band BY VALUE), which is also what the DuckDB oracle joins on
+      .withColumn("bucket", hash(col("band"), col("bslice")))
+    val a = banded.select(col("band"), col("bucket"), col("bslice").as("bs_a"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("bslice").as("bs_b"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("doc_a") < col("doc_b") && col("bs_a") === col("bs_b"))
       .select(col("doc_a"), col("doc_b"),
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           v => v)).as("agree"))
@@ -201,16 +206,29 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component w[bit][dim] in {-1,+1},
     * derived from FNV of (bit, dim) — seedless, identical on every executor.
     */
-  private def hyperplaneSign(bit: Int, dim: Int): Double =
+  def hyperplaneSign(bit: Int, dim: Int): Double =
     if ((Hashing.fnv1a64(s"hp:$bit:$dim") & 1L) == 0L) -1.0 else 1.0
 
-  private val signBitsU = udf { (e: Seq[Float]) =>
+  /** Executor-local cache of the bits x dim hyperplane matrix — computed
+    * ONCE per (bits, dim) per JVM, never per row (the per-row FNV+string
+    * formulation was a 10-50x constant factor on signature computation).
+    */
+  private val hpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] =
+    hpCache.computeIfAbsent((bits, dim), { case (b, d) =>
+      Array.tabulate(b, d)((bit, dd) => hyperplaneSign(bit, dd))
+    })
+
+  private def signBitsU(bits: Int) = udf { (e: Seq[Float]) =>
+    val hp = hyperplanes(bits, e.length)
     var sig = 0
     var bit = 0
-    while (bit < HyperplaneBits) {
+    while (bit < bits) {
+      val row = hp(bit)
       var s = 0.0
       var d = 0
-      while (d < e.length) { s += e(d) * hyperplaneSign(bit, d); d += 1 }
+      while (d < e.length) { s += e(d) * row(d); d += 1 }
       if (s > 0) sig |= (1 << bit)
       bit += 1
     }
@@ -218,25 +236,38 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: random-hyperplane sign buckets; candidates = bucket
-    * collisions (plus single-bit-flip probes), exact cosine re-rank inside
-    * the bucket. Recall/latency knob = HyperplaneBits; this is the shape
-    * that survives 100TB (bucket join, no cross product).
+    * collisions plus (when `probe`) all single-bit-flip probe buckets of the
+    * query side; exact cosine re-rank inside the bucket. This is the shape
+    * that survives 100TB — a bucket equi-join, no cross product.
+    *
+    * Scale knob: `bits`. Expected bucket population is n / 2^bits and join
+    * fan-out is sum over buckets of |bucket|^2, so `bits` must GROW with
+    * log2(n) to keep buckets bounded (e.g. 10^9 vectors at ~1k/bucket needs
+    * bits ~ 20); recall lost to more bits is bought back by probing. The
+    * default 12 is sized for the test corpus, not for 100TB — callers at
+    * scale pass bits explicitly (and AQE skew-join splits any hot bucket).
     */
-  def annLshTopK(emb: DataFrame, k: Int, probeBits: Int = 1): DataFrame = {
-    val sigs = emb.select(col("vec_id"), col("embedding"), signBitsU(col("embedding")).as("bucket"))
-    // multi-probe: query side also explodes each single-bit-flipped bucket
+  def annLshTopK(emb: DataFrame, k: Int, bits: Int = HyperplaneBits,
+      probe: Boolean = true): DataFrame = {
+    val sigs = emb.select(col("vec_id"), col("embedding"),
+      signBitsU(bits)(col("embedding")).as("bucket"),
+      norm2(col("embedding")).as("nrm"))
+    // single-bit-flip probe buckets, built driver-side (NOT sequence():
+    // sequence(0,-1) is a descending [0,-1], not empty)
+    val probeArr =
+      if (probe) array((col("bucket") +: (0 until bits).map(i =>
+        col("bucket").bitwiseXOR(lit(1 << i)))): _*)
+      else array(col("bucket"))
     val probes = sigs.select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
-      explode(concat(array(col("bucket")),
-        transform(sequence(lit(0), lit(if (probeBits > 0) HyperplaneBits - 1 else -1)),
-          i => expr("bucket").bitwiseXOR(pow(lit(2), i).cast("int"))))).as("bucket"))
+      col("nrm").as("n_q"), explode(probeArr).as("bucket"))
     val cands = probes.join(
-      sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_n"), col("bucket")),
+      sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_n"),
+        col("nrm").as("n_n"), col("bucket")),
       Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_bp", floor(cosine(col("e_q"), col("e_n")) * 10000))
+      .withColumn("cos_bp",
+        floor(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")) * 10000))
       .select("query_id", "neighbor_id", "cos_bp").distinct()
-    // (bucket collisions are rare relative to the cross product, so the
-    // cosine here stays the simple fused form)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w).cast("long"))
