@@ -16,9 +16,15 @@ object OracleSql {
   def norm(x: String): String =
     raw"trim(regexp_replace(regexp_replace(regexp_replace(lower($x), '[ \t]+', ' ', 'g'), '\n+', chr(10), 'g'), '[^\p{L}\p{Nd} \n]', '', 'g'), ' ' || chr(10))"
 
-  /** Dialect twin of Exprs.trimAsciiWs. */
-  def trimWs(x: String): String =
-    s"trim($x, ' ' || chr(9) || chr(10) || chr(13) || chr(12))"
+  /** Dialect twin of Exprs.trimGoWs — the full Go White_Space set, as
+    * chr() codepoints (one canonical list: TextKernel.isGoSpace).
+    */
+  val GoWsChrs: String =
+    (Seq(9, 10, 11, 12, 13, 32, 0x85, 0xA0, 0x1680) ++
+      (0x2000 to 0x200A) ++ Seq(0x2028, 0x2029, 0x202F, 0x205F, 0x3000))
+      .map(c => s"chr($c)").mkString(" || ")
+
+  def trimWs(x: String): String = s"trim($x, $GoWsChrs)"
 
   /** Dialect twin of Exprs.blankLineSplit (RE2). */
   val BlankSplit: String = raw"'\n[\t\n\f\r ]*\n+'"

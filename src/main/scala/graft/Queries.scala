@@ -76,7 +76,7 @@ object Queries {
 
     "q13_p6_sanity" -> ((s, dir) =>
       Corpus.assemble(corpus(s, dir)).select(col("doc_id"),
-        (octet_length(Exprs.trimAsciiWs(col("raw"))) >= 20).as("valid"))),
+        (octet_length(Exprs.trimGoWs(col("raw"))) >= 20).as("valid"))),
 
     "q14_extract_metrics" -> ((s, dir) => {
       val ch = ExtractionJob.chunks(corpus(s, dir))
@@ -284,7 +284,7 @@ object Queries {
          |    CAST(SUM(CASE WHEN v_kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_count,
          |    CAST(SUM(CASE WHEN v_kept THEN 0 ELSE 1 END) AS BIGINT) AS near_dups
          |  FROM g_v GROUP BY doc_id)
-         |SELECT c.doc_id, CAST(11 AS BIGINT) AS n_spans, c.n_chunks, c.n_chrome_dropped,
+         |SELECT c.doc_id, CAST(12 AS BIGINT) AS n_spans, c.n_chunks, c.n_chrome_dropped,
          |       e.input_count, s.kept_count,
          |       e.exact_dups + s.near_dups AS dropped_count, e.exact_dups, s.near_dups,
          |       CAST(floor(c.n_chrome_dropped * 10000.0 / c.n_chunks) AS BIGINT) AS boilerplate_ratio_bp,

@@ -57,24 +57,38 @@ object ExtractionJob {
         col("kept_order").as("order"))
 
   /** A4 — per-doc extraction metrics (north_star: spans/doc, boilerplate
-    * ratio, dedup rate), joined from the stage frames.
+    * ratio, dedup rate) in ONE pass: `size(spans)` rides through assemble
+    * and the chunker as a carried column, chrome verdicts are a map-side
+    * flag, and one `groupByKey(doc_id)` computes chunk counts AND runs the
+    * dedup kernel on the keepers — one chunker subtree, one exchange, no
+    * joins (the former shape built the chunk pipeline twice and joined
+    * three frames). Emits one row per doc that produced >= 1 chunk.
     */
   def metrics(docs: DataFrame, config: DedupeConfig = DedupeConfig())(
       implicit spark: SparkSession): DataFrame = {
-    val nSpans = docs.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
-    val ch = chunks(docs)
-    val chromeKeepCol = Exprs.chromeKeep(col("norm"), ChromePatterns, Corpus.ChromeMaxLength)
-    val chunkStats = ch
-      .withColumn("keep", chromeKeepCol)
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_chrome_dropped"))
-    val dd = DedupeOps.stats(DedupeOps.perDocDedupe(
-      ch.filter(chromeKeepCol), config))
-    nSpans
-      .join(chunkStats, Seq("doc_id"), "left")
-      .join(dd, Seq("doc_id"), "left")
+    import spark.implicits._
+    val assembled = Corpus.assembleWith(docs, size(col("spans")).cast("long").as("n_spans"))
+    val ch = Chunker.chunk(assembled, col("raw"), Corpus.MinChunkChars,
+      passThrough = Seq("n_spans"))
+    val keep = Exprs.chromeKeep(col("norm"), ChromePatterns, Corpus.ChromeMaxLength)
+    val cfg = config.validated
+    ch.select(col("doc_id"), col("id"), col("text"), col("norm"), col("idx"),
+        keep.as("keep"), col("n_spans"))
+      .as[(String, String, String, String, Long, Boolean, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val rows = it.toArray.sortBy(_._5)
+        val nChunks = rows.length.toLong
+        val nChromeDropped = rows.count(!_._6).toLong
+        val keepers = rows.iterator.filter(_._6)
+          .map(r => graft.kernel.Chunk(r._2, r._3, r._4, r._5.toInt)).toSeq
+        val st = graft.kernel.DedupeKernel.dedupe(keepers, cfg).stats
+        (docId, rows.head._7, nChunks, nChromeDropped,
+          st.inputCount.toLong, st.keptCount.toLong, st.droppedCount.toLong,
+          st.exactDups.toLong, st.nearDups.toLong)
+      }
+      .toDF("doc_id", "n_spans", "n_chunks", "n_chrome_dropped",
+        "input_count", "kept_count", "dropped_count", "exact_dups", "near_dups")
       .select(
         col("doc_id"), col("n_spans"), col("n_chunks"), col("n_chrome_dropped"),
         col("input_count"), col("kept_count"), col("dropped_count"),

@@ -22,23 +22,26 @@ object Chunker {
   /** Chunk `rawCol` of `docs` (one row per doc) into
     * (doc_id, id, text, norm, idx) rows. Zero-shuffle.
     */
-  def chunk(docs: DataFrame, rawCol: Column, minChars: Int = Corpus.MinChunkChars): DataFrame = {
+  def chunk(docs: DataFrame, rawCol: Column, minChars: Int = Corpus.MinChunkChars,
+      passThrough: Seq[String] = Nil): DataFrame = {
     val survivors = filter(
-      transform(split(rawCol, Exprs.blankLineSplit, -1), s => Exprs.trimAsciiWs(s)),
+      transform(split(rawCol, Exprs.blankLineSplit, -1), s => Exprs.trimGoWs(s)),
       s => octet_length(s) >= minChars)
-    val whole = Exprs.trimAsciiWs(rawCol)
+    val whole = Exprs.trimGoWs(rawCol)
     // Fallback (text.go:107-118): zero survivors but whole trimmed text long
     // enough -> single chunk of the whole text.
     val chunksArr = when(
       size(survivors) === 0 && octet_length(whole) >= minChars,
       array(whole)).otherwise(survivors)
+    val carried = passThrough.map(col)
     docs
-      .select(col("doc_id"), posexplode(chunksArr).as(Seq("pos", "text")))
+      .select((col("doc_id") +: carried) :+ posexplode(chunksArr).as(Seq("pos", "text")): _*)
       .select(
-        col("doc_id"),
-        concat(lit("c"), lpad((col("pos") + 1).cast("string"), 4, "0")).as("id"),
-        col("text"),
-        Exprs.normCol(col("text")).as("norm"),
-        col("pos").cast("long").as("idx"))
+        (col("doc_id") +:
+          concat(lit("c"), lpad((col("pos") + 1).cast("string"), 4, "0")).as("id") +:
+          col("text") +:
+          Exprs.normCol(col("text")).as("norm") +:
+          col("pos").cast("long").as("idx") +:
+          carried): _*)
   }
 }

@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   *   8   text  LongChrome (>=100B norm, matches)     keep-long-chrome rule
   *   9   text  t + " " + Tail                        near duplicate (simhash)
   *   10  text  AccentPara (non-ASCII, 68B/51ch)      byte semantics on oracle path
+  *   11  text  UnicodeWsPara (NBSP/U+2007/U+3000/     Go-TrimSpace Unicode whitespace
+  *             U+2009 padded)                         on the oracle path
   *
   * The "OCR function" (the reference shells out to ocrmypdf,
   * internal/pipeline/pipeline.go:87-102; here it must be a deterministic
@@ -56,6 +58,15 @@ object Corpus {
   val AccentPara =
     "Café résumé naïvé jälapeño àéîõü über çédille œuvré"
 
+  /** Unicode-whitespace-padded span (offset 11) — puts Go-TrimSpace
+    * semantics on the ORACLE path: the NBSP/FIGURE-SPACE prefix and
+    * IDEOGRAPHIC/THIN-SPACE suffix must be trimmed by the distributed
+    * chunker exactly like the kernel's goTrimSpace (an ASCII-only trim
+    * would leave them in the chunk text and change its bytes).
+    */
+  val UnicodeWsPara =
+    "\u00A0\u2007Unicode whitespace padded paragraph body retains enough length for chunking\u3000\u2009"
+
   /** Deterministic OCR stand-in: media_ref -> recognized text (>=60 bytes,
     * unique per ref so OCR output is never deduped away).
     */
@@ -85,7 +96,8 @@ object Corpus {
       lit(CrlfPara),
       lit(LongChrome),
       concat(t, lit(" "), lit(Tail)),
-      lit(AccentPara))
+      lit(AccentPara),
+      lit(UnicodeWsPara))
   }
 
   /** Plain-Scala twin of [[rawTextCol]] for the sequential test oracle —
@@ -105,7 +117,8 @@ object Corpus {
       CrlfPara,
       LongChrome,
       s"$t $Tail",
-      AccentPara
+      AccentPara,
+      UnicodeWsPara
     ).mkString("\n\n")
   }
 
@@ -132,7 +145,8 @@ object Corpus {
       sqlLit(CrlfPara),
       sqlLit(LongChrome),
       s"$t || ' ' || ${sqlLit(Tail)}",
-      sqlLit(AccentPara)
+      sqlLit(AccentPara),
+      sqlLit(UnicodeWsPara)
     ).mkString(" || " + nn + " || ")
   }
 
@@ -176,7 +190,8 @@ object Corpus {
         span("text", lit(CrlfPara), e, 7),
         span("text", lit(LongChrome), e, 8),
         span("text", concat(t, lit(" "), lit(Tail)), e, 9),
-        span("text", lit(AccentPara), e, 10)
+        span("text", lit(AccentPara), e, 10),
+        span("text", lit(UnicodeWsPara), e, 11)
       ).as("spans"))
   }
 
@@ -202,15 +217,19 @@ object Corpus {
     * would shuffle every span payload on doc_id; at 10^12 docs that is the
     * difference between a map-only stage and the dominant exchange.)
     */
-  def assemble(docs: DataFrame): DataFrame = {
+  def assemble(docs: DataFrame): DataFrame = assembleWith(docs)
+
+  /** [[assemble]] carrying extra per-doc columns (e.g. `size(spans)`) through
+    * the fold, so downstream per-doc stages never need a second scan/join.
+    */
+  def assembleWith(docs: DataFrame, extra: Column*): DataFrame = {
     val ordered = array_sort(transform(col("spans"), s =>
       struct(s("offset").as("o"), s("kind").as("k"),
         s("text").as("t"), s("media_ref").as("m"))))
-    docs.select(
-      col("doc_id"),
-      array_join(
-        transform(ordered, s =>
-          when(s("k") === "media", ocrTextCol(s("m"))).otherwise(s("t"))),
-        "\n\n").as("raw"))
+    val raw = array_join(
+      transform(ordered, s =>
+        when(s("k") === "media", ocrTextCol(s("m"))).otherwise(s("t"))),
+      "\n\n").as("raw")
+    docs.select((col("doc_id") +: extra) :+ raw: _*)
   }
 }

@@ -41,7 +41,25 @@ object Exprs {
     * byte-exact general form lives in the kernel and runs in the
     * flatMapGroups pipeline.
     */
-  def trimAsciiWs(c: Column): Column = trim(c, " \t\n\r\f")
+  /** Go `strings.TrimSpace` trim set — the FULL Unicode White_Space property
+    * (TextKernel.isGoSpace), not just ASCII: tab, LF, VT, FF, CR, space,
+    * NEL, NBSP, OGHAM SPACE MARK, U+2000-200A, LINE/PARA SEPARATOR,
+    * NARROW NBSP, MMSP, IDEOGRAPHIC SPACE. Spark `trim(col, set)` and
+    * DuckDB `trim(x, set)` both treat the string as a character SET, so one
+    * constant serves both dialects (OracleSql.trimWs is the twin).
+    */
+  val GoWhitespace: String =
+    " \t\n\u000B\f\r\u0085\u00A0\u1680" +
+      (0x2000 to 0x200A).map(_.toChar).mkString +
+      "\u2028\u2029\u202F\u205F\u3000"
+
+  /** Go-TrimSpace as a Catalyst expression (trims the full Unicode
+    * White_Space set from both ends — reference: strings.TrimSpace used at
+    * internal/text/text.go:84, 111). Replaces the former ASCII-only trim in
+    * the distributed chunker, which diverged from the kernel on NBSP/U+2007
+    * etc. at paragraph edges.
+    */
+  def trimGoWs(c: Column): Column = trim(c, GoWhitespace)
 
   /** P3 — chrome-filter KEEP predicate (reference: internal/text/
     * text.go:126-163): drop iff norm is shorter than `maxLength` BYTES and
