@@ -98,6 +98,16 @@ object OracleSql {
     s"CAST(floor((${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))) * 10000) AS BIGINT)"
   }
 
+  /** Unquantized cosine (DOUBLE) — for rank/assignment comparisons where the
+    * raw doubles are bit-identical cross-engine (same left fold).
+    */
+  def cosRaw(a: String, b: String): String = {
+    def dot(x: String, y: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($x, $y), " +
+        s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (s, v) -> s + v)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
   /** signed BIGINT -> UBIGINT (two's-complement bit pattern). */
   def toUnsigned(s: String): String =
     s"CAST(CASE WHEN ($s) < 0 THEN CAST($s AS HUGEINT) + ${OracleHash.M64} " +

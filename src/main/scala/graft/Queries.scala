@@ -133,6 +133,11 @@ object Queries {
 
     "q27_ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(embOf(s, dir), 10)),
 
+    "q37_ann_ivf_topk" -> ((s, dir) => Similarity.annIvfTopK(embOf(s, dir), 10)),
+
+    "q38_cluster_winners" -> ((s, dir) =>
+      LshDedup.clusterWinners(Similarity.simhashDocPairs(docsOf(s, dir), 5, 6), 3)),
+
     // ---- text analysis ----
     "q28_lang_id" -> ((s, dir) => TextAnalysis.langId(docsOf(s, dir))),
     "q29_quality" -> ((s, dir) => TextAnalysis.quality(docsOf(s, dir))),
@@ -169,7 +174,17 @@ object Queries {
     // ---- multimodal ----
     "q32_media_meta" -> ((s, dir) => Multimodal.mediaMeta(corpus(s, dir))),
     "q33_media_decode" -> ((s, dir) =>
-      Multimodal.decodeBatch(Multimodal.mediaTable(corpus(s, dir)))(s).toDF())
+      Multimodal.decodeBatch(Multimodal.mediaTable(corpus(s, dir)))(s).toDF()),
+
+    // ---- doctor: testdata probe (the relational half of DoctorMain; the
+    // env half — Spark/Scala/Java versions, parallelism — is the
+    // graft.jobs.DoctorMain CLI, reference cmd/pipeline/doctor.go) ----
+    "q36_doctor_tables" -> ((s, dir) =>
+      graft.jobs.DoctorMain.Tables.map(t =>
+        s.read.parquet(s"$dir/$t.parquet")
+          .agg(count(lit(1)).cast("long").as("n_rows"))
+          .select(lit(t).as("table_name"), col("n_rows")))
+        .reduce(_ unionAll _))
   )
 
   import OracleSql._
@@ -367,7 +382,7 @@ object Queries {
     "q27_ann_lsh_topk" ->
       (s"""WITH hp AS (
          |  SELECT bb.b AS bit, dd.d AS dim,
-         |         CASE WHEN (${OracleHash.fnvOf("'hp:' || bb.b || ':' || dd.d")}) % 2 = 0
+         |         CASE WHEN (CAST(${OracleHash.fnvOf("bb.b || ':' || dd.d || ':hp'")} AS UBIGINT) >> 32) % 2 = 0
          |              THEN -1.0 ELSE 1.0 END AS sgn
          |  FROM range(0, 12) bb(b),
          |       (SELECT unnest(range(0, len(embedding))) AS d
@@ -391,6 +406,40 @@ object Queries {
          |SELECT query_id, neighbor_id, cos_bp, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 10""").stripMargin,
+
+    "q37_ann_ivf_topk" ->
+      (s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_e FROM embeddings ORDER BY vec_id LIMIT 32),
+         |sim AS (SELECT v.vec_id, v.embedding, c.cent_id,
+         |               ${cosRaw("v.embedding", "c.c_e")} AS csim
+         |        FROM embeddings v, cents c),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank FROM sim),
+         |assign AS (SELECT vec_id AS neighbor_id, cent_id AS cell FROM ranked WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked WHERE crank <= 8),
+         |cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
+         |         FROM probes p JOIN assign a USING (cell) WHERE p.query_id <> a.neighbor_id),
+         |scored AS (SELECT c.query_id, c.neighbor_id, ${cosBp("q.embedding", "n.embedding")} AS cos_bp
+         |           FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+         |                       JOIN embeddings n ON n.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, cos_bp, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 10""").stripMargin,
+
+    "q38_cluster_winners" ->
+      (s"""WITH d0 AS (SELECT doc_id, ${norm("text")} AS nrm, CAST(doc_id AS VARCHAR) AS rk FROM documents),
+         |${OracleHash.simhashCtes("d0", "nrm", 5, "dsig")},
+         |keyed AS (SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM dsig),
+         |kb AS (SELECT doc_id, sig, band,
+         |       (${toUnsigned("sig")} >> CAST(band * 8 AS INT)) & 255 AS band_key FROM keyed),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kb a JOIN kb b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 6),
+         |edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |w0 AS (SELECT x AS doc_id, least(MIN(y), x) AS winner FROM edges GROUP BY x),
+         |w1 AS (SELECT e.x AS doc_id, least(MIN(w.winner), e.x) AS winner
+         |       FROM edges e JOIN w0 w ON w.doc_id = e.y GROUP BY e.x),
+         |w2 AS (SELECT e.x AS doc_id, least(MIN(w.winner), e.x) AS winner
+         |       FROM edges e JOIN w1 w ON w.doc_id = e.y GROUP BY e.x)
+         |SELECT doc_id, winner FROM w2""").stripMargin,
 
     "q33_media_decode" ->
       (s"""WITH media AS (
@@ -492,6 +541,11 @@ object Queries {
          |      t -> CAST(length(t) AS BIGINT) * ascii(substr(t, 1, 1)))),
          |    (s, v) -> (s + v) % 1000000007) AS token_sketch
          |FROM documents""").stripMargin,
+
+    "q36_doctor_tables" ->
+      graft.jobs.DoctorMain.Tables
+        .map(t => s"SELECT '$t' AS table_name, COUNT(*) AS n_rows FROM $t")
+        .mkString(" UNION ALL "),
 
     "q32_media_meta" ->
       ("""WITH media AS (

@@ -26,19 +26,39 @@ object ExtractionJob {
 
   val ChromePatterns: Seq[String] = graft.kernel.TextKernel.defaultChromePatterns
 
-  def chunks(docs: DataFrame): DataFrame = {
+  /** The reference CLI's pipeline knobs (cmd/pipeline/main.go:64-96):
+    * min-chunk-chars, chrome patterns (defaults + optional custom regex
+    * appended, main.go:92-96), the dedup config, and the sink options
+    * (markdown title / chunk-id comments / chunks-JSONL toggle).
+    */
+  final case class PipelineConfig(
+      minChunkChars: Int = Corpus.MinChunkChars,
+      chromePatterns: Seq[String] = graft.kernel.TextKernel.defaultChromePatterns,
+      dedupe: DedupeConfig = DedupeConfig(),
+      markdownTitle: String = "",
+      includeChunkIds: Boolean = false,
+      emitChunksJsonl: Boolean = false)
+
+  def chunks(docs: DataFrame, minChunkChars: Int = Corpus.MinChunkChars): DataFrame = {
     val assembled = Corpus.assemble(docs)
-    Chunker.chunk(assembled, col("raw"), Corpus.MinChunkChars)
+    Chunker.chunk(assembled, col("raw"), minChunkChars)
   }
 
-  def filteredChunks(docs: DataFrame): DataFrame =
-    chunks(docs).filter(
-      Exprs.chromeKeep(col("norm"), ChromePatterns, Corpus.ChromeMaxLength))
+  def filteredChunks(docs: DataFrame): DataFrame = filteredChunks(docs, PipelineConfig())
+
+  def filteredChunks(docs: DataFrame, cfg: PipelineConfig): DataFrame =
+    chunks(docs, cfg.minChunkChars).filter(
+      Exprs.chromeKeep(col("norm"), cfg.chromePatterns, Corpus.ChromeMaxLength))
 
   /** Full dedup output (kept + dropped audit in one frame). */
   def dedup(docs: DataFrame, config: DedupeConfig = DedupeConfig())(
       implicit spark: SparkSession): DataFrame =
     DedupeOps.perDocDedupe(filteredChunks(docs), config).toDF()
+
+  /** Full dedup output under a complete [[PipelineConfig]]. */
+  def dedupWith(docs: DataFrame, cfg: PipelineConfig)(
+      implicit spark: SparkSession): DataFrame =
+    DedupeOps.perDocDedupe(filteredChunks(docs, cfg), cfg.dedupe).toDF()
 
   /** The output span sequence per doc: kept chunks as ordered text spans
     * (kind, text, media_ref="", order) — the BASELINE.json per-row

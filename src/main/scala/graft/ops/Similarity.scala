@@ -205,9 +205,18 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component w[bit][dim] in {-1,+1},
     * derived from FNV of (bit, dim) — seedless, identical on every executor.
+    *
+    * Two FNV-1a traps make the naive `fnv("hp:b:d") & 1` DEGENERATE (round-1
+    * bug: all 12 hyperplanes collapsed to ONE plane up to sign, 2 buckets
+    * total): (a) bit 0 of FNV-1a is the parity of the input bytes' low bits
+    * (the prime is odd), so it is a separable function f(b) XOR g(d);
+    * (b) trailing-byte differences barely avalanche (the prime 0x100000001B3
+    * is sparse — one multiply moves a last-byte delta only into bits ~0-8
+    * and ~40). Fix: vary the LEADING bytes (every varying byte then passes
+    * through many multiplies) and read a well-mixed bit (32).
     */
   def hyperplaneSign(bit: Int, dim: Int): Double =
-    if ((Hashing.fnv1a64(s"hp:$bit:$dim") & 1L) == 0L) -1.0 else 1.0
+    if (((Hashing.fnv1a64(s"$bit:$dim:hp") >>> 32) & 1L) == 0L) -1.0 else 1.0
 
   /** Executor-local cache of the bits x dim hyperplane matrix — computed
     * ONCE per (bits, dim) per JVM, never per row (the per-row FNV+string
@@ -264,6 +273,53 @@ object Similarity {
       sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_n"),
         col("nrm").as("n_n"), col("bucket")),
       Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_bp",
+        floor(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")) * 10000))
+      .select("query_id", "neighbor_id", "cos_bp").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN (the second scale path, complementing [[annLshTopK]]):
+    * coarse quantizer = the `kCells` vectors with smallest vec_id used as
+    * cell centroids (deterministic sampled init, no Lloyd refinement — so
+    * no float AGGREGATION enters the oracle path and the whole operator is
+    * bit-reproducible cross-engine); each vector is assigned to its
+    * max-cosine cell; a query probes its `nprobe` nearest cells; exact
+    * cosine re-rank inside the probed cells.
+    *
+    * Scale shape: the centroid table is tiny and BROADCAST, so assignment
+    * and probe selection are map-side (no shuffle); the only exchange is the
+    * candidate equi-join on `cell`. At 10^9+ vectors kCells grows ~sqrt(n)
+    * and cell population stays bounded; skewed cells split via AQE.
+    *
+    * Empirical honesty note (measured on the synthetic embeddings): they
+    * are ISOTROPIC random vectors (same-label cos == diff-label cos == 0),
+    * where ANY sublinear index has recall ~= scanned fraction — that is a
+    * property of random data, not of the index. On planted near-duplicates
+    * (cos >= 0.99) this IVF reaches recall 1.0 and the fixed LSH >= 0.9
+    * (SimilaritySpec).
+    */
+  def annIvfTopK(emb: DataFrame, k: Int, kCells: Int = 32, nprobe: Int = 8): DataFrame = {
+    val cents = broadcast(
+      emb.orderBy(col("vec_id").asc).limit(kCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_e"),
+          norm2(col("embedding")).as("c_n")))
+    val base = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val sim = base.crossJoin(cents)
+      .withColumn("csim", dot(col("embedding"), col("c_e")) / (col("nrm") * col("c_n")))
+    val cw = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id").asc)
+    val ranked = sim.withColumn("crank", row_number().over(cw))
+    val assign = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("e_n"),
+        col("nrm").as("n_n"), col("cent_id").as("cell"))
+    val probes = ranked.filter(col("crank") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("nrm").as("n_q"), col("cent_id").as("cell"))
+    val cands = probes.join(assign, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_bp",
         floor(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")) * 10000))

@@ -121,10 +121,16 @@ object SnapshotTable {
 
     out.write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$root/data")
 
-    // lineage: per-bucket doc/row counts for THIS run
-    val counts = out.groupBy("bucket").agg(
-      count(lit(1)).as("n_rows"),
-      countDistinct(col("doc_id")).as("n_docs"))
+    // lineage: per-bucket doc/row counts from the files just written — a
+    // cheap parquet re-scan of only the new bucket dirs, NOT a second
+    // execution of the pipeline (the former out.groupBy here re-ran the
+    // whole pipeline plan, doubling job cost)
+    val counts = spark.read
+      .option("basePath", s"$root/data")
+      .parquet(missing.map(b => s"$root/data/bucket=$b"): _*)
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val wall = System.currentTimeMillis() - t0
     val id = currentSnapshotId(root) + 1
