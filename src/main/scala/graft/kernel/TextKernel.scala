@@ -93,27 +93,28 @@ object TextKernel {
     * post-filter (survivor position). Fallback: if nothing survived but the
     * whole trimmed text is >= minChars bytes, emit it as the single chunk.
     */
-  def chunkText(text: String, minChars: Int): Vector[Chunk] = {
-    if (text.isEmpty) return Vector.empty
+  /** Surviving trimmed segments in document order, including the whole-text
+    * fallback — chunkText minus id/norm assignment. Shared by the kernel and
+    * the distributed chunker's per-document UDF (graft.ops.Chunker).
+    */
+  def chunkSegments(text: String, minChars: Int): Array[String] = {
+    if (text.isEmpty) return Array.empty
     // Go regexp.Split(-1) == Java split(regex, -1) (keeps trailing empties).
     val segments = blankLinePattern.split(text, -1)
-    val chunks = Vector.newBuilder[Chunk]
-    var idx = 0
-    for (segment <- segments) {
-      val trimmed = goTrimSpace(segment)
-      if (byteLen(trimmed) >= minChars) {
-        chunks += Chunk(f"c${idx + 1}%04d", trimmed, normalize(trimmed), idx)
-        idx += 1
-      }
-    }
-    val out = chunks.result()
+    val out = segments.iterator
+      .map(goTrimSpace)
+      .filter(byteLen(_) >= minChars)
+      .toArray
     if (out.isEmpty) {
       val trimmed = goTrimSpace(text)
-      if (byteLen(trimmed) >= minChars)
-        Vector(Chunk("c0001", trimmed, normalize(trimmed), 0))
-      else Vector.empty
+      if (byteLen(trimmed) >= minChars) Array(trimmed) else Array.empty
     } else out
   }
+
+  def chunkText(text: String, minChars: Int): Vector[Chunk] =
+    chunkSegments(text, minChars).iterator.zipWithIndex.map { case (t, idx) =>
+      Chunk(f"c${idx + 1}%04d", t, normalize(t), idx)
+    }.toVector
 
   /** Default chrome patterns, applied to NORMALIZED text
     * (reference: internal/text/text.go:23-30).

@@ -62,17 +62,26 @@ object LshDedup {
     * approximation, NOT part of the reference semantics).
     */
   def clusterWinners(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    // iterative min-propagation: PERSIST the edge set (otherwise the whole
+    // upstream sig+LSH join is recomputed once per iteration) and truncate
+    // the growing join lineage each round with an eager localCheckpoint —
+    // the standard shape for iterative algorithms on Spark (each iteration
+    // is then one join + one agg over materialized inputs)
     val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
       .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("x").as("doc_id"))
       .agg(least(min(col("y")), first(col("x"))).as("winner"))
+      .localCheckpoint()
     for (_ <- 1 until iters) {
       labels = edges
         .join(labels.withColumnRenamed("doc_id", "y"), Seq("y"))
         .groupBy(col("x").as("doc_id"))
         .agg(min(col("winner")).as("winner"))
         .withColumn("winner", least(col("winner"), col("doc_id")))
+        .localCheckpoint()
     }
+    edges.unpersist(blocking = false)
     labels
   }
 }

@@ -88,6 +88,16 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("chunker kernel-UDF twin == declarative chunker (row-identical)") {
+    val docs = Corpus.assemble(Corpus.docsTable(spark, sfDir))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    val hof = rows(Chunker.chunkDeclarative(docs, col("raw")))
+    val udfRows = rows(Chunker.chunkKernelUdf(docs, col("raw")))
+    assert(udfRows == hof)
+  }
+
   test("exact-dedup window transform == kernel exactHashDedupe per doc") {
     val docs = Corpus.docsTable(spark, sfDir)
     val filtered = ExtractionJob.filteredChunks(docs)

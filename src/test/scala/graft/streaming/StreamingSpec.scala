@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Corpus
+
+final case class TestSpan(kind: String, text: String, media_ref: String, offset: Int)
+final case class TestDoc(doc_id: String, spans: Seq[TestSpan])
+
+/** Streamed-vs-batch equivalence: feeding the same doc rows through the
+  * Structured Streaming path (two separate micro-batches) must produce
+  * exactly the batch pipeline's output spans.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming output spans == batch output spans (same docs, 2 micro-batches)") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+
+    val docsDf = Corpus.docsTable(spark, sfDir).limit(60).cache()
+    val docs = docsDf.as[TestDoc].collect().toSeq
+    assert(docs.size == 60)
+
+    val expected = graft.jobs.ExtractionJob.outputSpans(docsDf)(spark)
+      .select("doc_id", "kind", "text", "media_ref", "order")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[TestDoc]
+    val out = StreamingExtraction.outputSpans(mem.toDF())
+    val query = out.writeStream.format("memory").queryName("spans_stream")
+      .outputMode("append").start()
+    try {
+      val (first, second) = docs.splitAt(25)
+      mem.addData(first)
+      query.processAllAvailable()
+      val mid = spark.sql("SELECT COUNT(*) FROM spans_stream").head().getLong(0)
+      assert(mid > 0 && mid < expected.size, "first micro-batch is a strict subset")
+      mem.addData(second)
+      query.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, kind, text, media_ref, order FROM spans_stream")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSet
+      assert(got == expected, "streamed spans must equal batch spans")
+    } finally {
+      query.stop()
+      docsDf.unpersist()
+    }
+  }
+}
