@@ -73,7 +73,7 @@ class SimilaritySpec extends AnyFunSuite {
     val hp = (0 until Similarity.HyperplaneBits).map(b =>
       (0 until dims).map(d => Similarity.hyperplaneSign(b, d)).toVector)
     for (i <- hp.indices; j <- hp.indices if i < j) {
-      val dot = (hp(i), hp(j)).zipped.map(_ * _).sum
+      val dot = hp(i).lazyZip(hp(j)).map(_ * _).sum
       assert(math.abs(dot) < dims,
         s"rows $i and $j are parallel/antiparallel (dot=$dot)")
     }
