@@ -304,21 +304,45 @@ object Similarity {
     * (SimilaritySpec).
     */
   def annIvfTopK(emb: DataFrame, k: Int, kCells: Int = 32, nprobe: Int = 8): DataFrame = {
-    val cents = broadcast(
+    // "train" the coarse quantizer driver-side: K rows is tiny by design
+    // (grows ~sqrt(n) at scale) and ships to executors in the UDF closure —
+    // probe selection is then a pure MAP (no n*K window/exchange; the plan's
+    // only shuffles are the cell equi-join and the final top-k window)
+    val spark0 = emb.sparkSession
+    import spark0.implicits._
+    val cents: Array[(Long, Array[Float], Double)] =
       emb.orderBy(col("vec_id").asc).limit(kCells)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("c_e"),
-          norm2(col("embedding")).as("c_n")))
-    val base = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val sim = base.crossJoin(cents)
-      .withColumn("csim", dot(col("embedding"), col("c_e")) / (col("nrm") * col("c_n")))
-    val cw = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id").asc)
-    val ranked = sim.withColumn("crank", row_number().over(cw))
-    val assign = ranked.filter(col("crank") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("e_n"),
-        col("nrm").as("n_n"), col("cent_id").as("cell"))
-    val probes = ranked.filter(col("crank") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
-        col("nrm").as("n_q"), col("cent_id").as("cell"))
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+        .map { case (id, e) =>
+          val a = e.toArray
+          var s = 0.0
+          var d = 0
+          while (d < a.length) { s += a(d).toDouble * a(d).toDouble; d += 1 }
+          (id, a, math.sqrt(s))
+        }
+    // top-nprobe cells by (cosine desc, cent_id asc) — double arithmetic in
+    // dim order, identical to FloatDotExpr's fold so the DuckDB oracle's
+    // list_reduce ranks the same
+    val probesU = udf { (e: Seq[Float]) =>
+      var s = 0.0
+      var d = 0
+      while (d < e.length) { s += e(d).toDouble * e(d).toDouble; d += 1 }
+      val en = math.sqrt(s)
+      cents.map { case (cid, c, cn) =>
+        var acc = 0.0
+        var i = 0
+        while (i < e.length) { acc += e(i).toDouble * c(i).toDouble; i += 1 }
+        (cid, acc / (en * cn))
+      }.sortBy { case (cid, csim) => (-csim, cid) }
+        .take(nprobe).map(_._1)
+    }
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nrm"), probesU(col("embedding")).as("pcells"))
+    val assign = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_n"),
+      col("nrm").as("n_n"), element_at(col("pcells"), 1).as("cell"))
+    val probes = base.select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+      col("nrm").as("n_q"), explode(col("pcells")).as("cell"))
     val cands = probes.join(assign, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_bp",
