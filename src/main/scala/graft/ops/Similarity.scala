@@ -61,9 +61,15 @@ object Similarity {
       .withColumn("set_size", size(col("sh")).cast("long"))
       .filter(col("set_size") > 0)
     val exploded = sets.select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
-    val capped = exploded.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    // df cap as a HASH AGGREGATE + join on the same key (map-side partial
+    // agg, no per-shingle sort) — the former count().over(partitionBy
+    // shingle) window shuffled the same rows but added a full sort per
+    // shingle; the join's exchange on `shingle` is the one the a×b
+    // self-join below reuses anyway
+    val dfCounts = exploded.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+    val capped = exploded.join(dfCounts, Seq("shingle"))
     val a = capped.select(col("shingle"), col("doc_id").as("doc_a"), col("set_size").as("size_a"))
     val b = capped.select(col("shingle"), col("doc_id").as("doc_b"), col("set_size").as("size_b"))
     a.join(b, Seq("shingle"))
