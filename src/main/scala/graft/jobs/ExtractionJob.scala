@@ -37,7 +37,8 @@ object ExtractionJob {
       dedupe: DedupeConfig = DedupeConfig(),
       markdownTitle: String = "",
       includeChunkIds: Boolean = false,
-      emitChunksJsonl: Boolean = false)
+      // reference default is TRUE (cmd/pipeline/main.go:75)
+      emitChunksJsonl: Boolean = true)
 
   def chunks(docs: DataFrame, minChunkChars: Int = Corpus.MinChunkChars): DataFrame = {
     val assembled = Corpus.assemble(docs)
@@ -114,8 +115,13 @@ object ExtractionJob {
         col("input_count"), col("kept_count"), col("dropped_count"),
         col("exact_dups"), col("near_dups"),
         // integer-quantized ratios (floor(x*10000)) keep the metrics
-        // deterministic across engines
+        // deterministic across engines; a doc whose chunks were ALL
+        // chrome-dropped has input_count=0 — its dedup rate is 0, not null
+        // (the contract is one metrics row per doc that produced >= 1
+        // chunk, chrome-dropped or not; zero-CHUNK docs emit no row)
         floor(col("n_chrome_dropped") * 10000.0 / col("n_chunks")).as("boilerplate_ratio_bp"),
-        floor(col("dropped_count") * 10000.0 / col("input_count")).as("dedup_rate_bp"))
+        when(col("input_count") > 0,
+          floor(col("dropped_count") * 10000.0 / col("input_count")))
+          .otherwise(lit(0L)).as("dedup_rate_bp"))
   }
 }

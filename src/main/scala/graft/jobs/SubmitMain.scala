@@ -45,6 +45,9 @@ object SubmitMain {
     var cfg = a.pipeline
     var dd = cfg.dedupe
     var i = 0
+    // positional args get their own counter — keying off the absolute argv
+    // index silently misassigned values as soon as any flag preceded them
+    var pos = 0
     def next(): String = { i += 1; argv(i) }
     while (i < argv.length) {
       argv(i) match {
@@ -68,12 +71,16 @@ object SubmitMain {
         case "--emit-chunks-jsonl" => cfg = cfg.copy(emitChunksJsonl = true)
         case "--emit-report" => a = a.copy(emitReport = true)
         // legacy positional form: <sfDir> <outRoot> [buckets] [maxPerRun] [replicate]
-        case v if !v.startsWith("--") && a.sfDir.isEmpty => a = a.copy(sfDir = v)
-        case v if !v.startsWith("--") && a.out.isEmpty => a = a.copy(out = v)
-        case v if !v.startsWith("--") && a.buckets == 32 && i == 2 =>
-          a = a.copy(buckets = v.toInt)
-        case v if !v.startsWith("--") && i == 3 => a = a.copy(maxPerRun = v.toInt)
-        case v if !v.startsWith("--") && i == 4 => a = a.copy(replicate = v.toInt)
+        case v if !v.startsWith("--") =>
+          pos match {
+            case 0 => a = a.copy(sfDir = v)
+            case 1 => a = a.copy(out = v)
+            case 2 => a = a.copy(buckets = v.toInt)
+            case 3 => a = a.copy(maxPerRun = v.toInt)
+            case 4 => a = a.copy(replicate = v.toInt)
+            case _ => throw new IllegalArgumentException(s"unexpected positional arg: $v")
+          }
+          pos += 1
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
       i += 1
@@ -103,12 +110,121 @@ object SubmitMain {
     println(f"[graft] cumulative: ${done.size}/${args.buckets} buckets, $sec%.1fs")
     if (done.size == args.buckets) {
       writeSinks(args)
+      writeArtifacts(args)
       val m = SnapshotTable.metrics(args.out)
       val rows = m.agg(sum("n_rows")).head.getLong(0)
       val nDocs = m.agg(sum("n_docs")).head.getLong(0)
       println(s"[graft] table complete: $nDocs docs, $rows audit rows")
     }
     spark.stop()
+  }
+
+  /** The reference's SINGLE-FILE artifact contract — the output tree a user
+    * of the reference actually diffs against (cmd/pipeline/main.go:231,259,276):
+    *
+    *   <out>/artifacts/result.md            one Markdown file (single-doc
+    *                                        corpus; multi-doc corpora write
+    *                                        result_md/<doc_id>.md each,
+    *                                        since the reference is a
+    *                                        one-document-per-run tool)
+    *   <out>/artifacts/chunks_raw.jsonl     one JSONL file, records
+    *                                        {"id","index","len","text"} in
+    *                                        Go's sorted-key order
+    *                                        (text.go:166-215)
+    *   <out>/artifacts/dedupe_report.json   one JSON report with the
+    *                                        reference's exact key set
+    *                                        (report.go:13-31)
+    *
+    * Content is derived from the committed snapshot table (read-back, no
+    * pipeline re-execution) and STREAMED through toLocalIterator — bounded
+    * driver memory, never a full collect. This is deliberately the
+    * small-corpus contract; the scale sinks are the parquet/json directory
+    * writers in [[writeSinks]].
+    */
+  def writeArtifacts(args: Args)(implicit spark: SparkSession): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val cfg = args.pipeline
+    val dd = cfg.dedupe
+    val dir = Paths.get(args.out, "artifacts")
+    Files.createDirectories(dir)
+    val table = SnapshotTable.read(args.out)
+    val kept = table.filter(col("kept"))
+
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+
+    // result.md (reference result.md, main.go:276; WriteMarkdown text.go:249-279)
+    val nDocs = table.select("doc_id").distinct().count()
+    val md = Render.markdown(kept.withColumn("idx", col("kept_order")),
+        lit(cfg.markdownTitle), includeChunkIds = cfg.includeChunkIds)
+      .orderBy("doc_id").select("doc_id", "markdown")
+    if (nDocs == 1) {
+      val r = md.head
+      Files.writeString(dir.resolve("result.md"), r.getString(1), UTF_8)
+    } else {
+      val mdDir = dir.resolve("result_md")
+      Files.createDirectories(mdDir)
+      md.toLocalIterator().asScala.foreach { r =>
+        Files.writeString(mdDir.resolve(s"${r.getString(0)}.md"), r.getString(1), UTF_8)
+      }
+    }
+
+    // chunks_raw.jsonl (main.go:231; record shape text.go:187-198 — Go
+    // marshals a map, so keys come out sorted: id, index, len, text)
+    if (cfg.emitChunksJsonl) {
+      val lines = Render.jsonlProjection(table.select("doc_id", "id", "text", "norm", "idx"))
+        .orderBy("doc_id", "index")
+        // struct field order == Go's sorted map keys (id, index, len, text)
+        .select(to_json(struct(col("id"), col("index"), col("len"), col("text"))).as("line"))
+      val w = Files.newBufferedWriter(dir.resolve("chunks_raw.jsonl"), UTF_8)
+      try lines.toLocalIterator().asScala.foreach { r => w.write(r.getString(0)); w.write("\n") }
+      finally w.close()
+    }
+
+    // dedupe_report.json (main.go:259; report.go:13-31 key set; dropped
+    // entries carry DroppedChunk's Go field names — no json tags there)
+    val st = table.agg(
+      count(lit(1)).as("input"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("kept"),
+      sum(when(!col("kept"), 1L).otherwise(0L)).as("dropped"),
+      sum(when(col("reason") === "exact_duplicate", 1L).otherwise(0L)).as("exact"),
+      sum(when(col("reason") === "near_duplicate", 1L).otherwise(0L)).as("near")).head
+    val nImages = Corpus.docsTable(spark, args.sfDir, args.replicate)
+      .select(explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "media").count()
+    val droppedIt = table.filter(!col("kept")).orderBy("doc_id", "idx")
+      .select(col("id"), col("reason"), col("matched_id"),
+        col("distance").cast("long").as("distance"), col("preview"))
+      .toLocalIterator().asScala
+    val w = Files.newBufferedWriter(dir.resolve("dedupe_report.json"), UTF_8)
+    try {
+      w.write("{\n")
+      w.write(s"""  "input_images": $nImages,\n""")
+      w.write(s"""  "input_chunks": ${st.getLong(0)},\n""")
+      w.write(s"""  "kept_chunks": ${st.getLong(1)},\n""")
+      w.write(s"""  "dropped_chunks": ${st.getLong(2)},\n""")
+      w.write(s"""  "exact_duplicates": ${st.getLong(3)},\n""")
+      w.write(s"""  "near_duplicates": ${st.getLong(4)},\n""")
+      w.write(s"""  "config": {"method": "${jesc(dd.method)}", "simhash_k": ${dd.simHashK}, """ +
+        s""""simhash_threshold": ${dd.simHashThreshold}, "window": ${dd.window}},\n""")
+      w.write("  \"dropped\": [")
+      var first = true
+      droppedIt.foreach { r =>
+        if (!first) w.write(",")
+        first = false
+        w.write(s"""\n    {"ChunkID": "${jesc(r.getString(0))}", "Reason": "${jesc(r.getString(1))}", """ +
+          s""""MatchedChunkID": "${jesc(Option(r.getString(2)).getOrElse(""))}", """ +
+          s""""Distance": ${r.getLong(3)}, "Preview": "${jesc(Option(r.getString(4)).getOrElse(""))}"}""")
+      }
+      w.write(if (first) "],\n" else "\n  ],\n")
+      w.write(s"""  "timestamp": "${java.time.ZonedDateTime.now().format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)}"\n""")
+      w.write("}\n")
+    } finally w.close()
   }
 
   /** Derive the reference's file sinks from the COMMITTED dedup table

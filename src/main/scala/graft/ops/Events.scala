@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Windowed ingestion metrics over the `events` stream table — the
+  * pipeline-observability member of the metrics family (north_star: "…
+  * extraction metrics … written to a metrics table"; the reference's only
+  * analogue is the run report, report.go:34-72, which is a single batch
+  * summary — event-time windowing is graft-only surface). Also makes the
+  * doctor's `events` probe load-bearing: the table it checks is consumed
+  * here.
+  *
+  * Determinism discipline (oracle-hash-identical across engines):
+  *   - `value` is quantized to integer cents PER ROW, BEFORE the sum — a
+  *     double sum's result depends on partitioning/order; an int64 sum
+  *     doesn't.
+  *   - inter-arrival gaps are computed in whole MICROSECONDS (no division,
+  *     no rounding mode to disagree on) with a total order tie-break
+  *     (ts, event_id).
+  *
+  * Scale shape: one hash exchange on (event_type, hour) shared by the lag
+  * window and the aggregation (same clustering keys, Catalyst reuses the
+  * partitioning); distinct-user count is a standard two-phase aggregate.
+  * Hot event types are bounded by the hour bucketing; residual skew is
+  * AQE's job.
+  */
+object Events {
+
+  /** Per-row integer quantization of the double `value` (cents). */
+  private def cents: Column = floor(col("value") * 100).cast("long")
+
+  /** Parquet writes the synthetic events' ts as TIMESTAMP_NTZ (no UTC
+    * adjustment); with the session pinned to UTC this cast maps wall time
+    * to the same instant DuckDB's naive-as-UTC reads give — and it's a
+    * no-op when the input is already a zoned timestamp (streaming test
+    * fixtures).
+    */
+  private def ts: Column = col("ts").cast("timestamp")
+
+  /** Tumbling 1-hour event-time windows per event_type: event count,
+    * distinct users, order-independent value sum, and the max intra-window
+    * inter-arrival gap (an ingestion-lag/skew indicator; -1 for
+    * single-event windows).
+    */
+  def windowedMetrics(events: DataFrame): DataFrame = {
+    val hour = date_trunc("hour", ts)
+    val w = Window.partitionBy(col("event_type"), hour)
+      .orderBy(ts, col("event_id"))
+    events.select(
+        col("event_type"), hour.as("h"), col("user_id"), cents.as("cents"),
+        (unix_micros(ts) - lag(unix_micros(ts), 1).over(w)).as("gap_us"))
+      .groupBy(col("h"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("value_cents"),
+        coalesce(max(col("gap_us")), lit(-1L)).as("max_gap_us"))
+      .select(unix_timestamp(col("h")).as("hour_ts"), col("event_type"),
+        col("n_events"), col("n_users"), col("value_cents"), col("max_gap_us"))
+  }
+
+  /** The streaming-safe windowed aggregate (no lag window, no exact
+    * distinct — neither is expressible incrementally): tumbling 1-hour
+    * `window()` + optional event-time watermark. The SAME function serves
+    * batch frames (watermark is a no-op there), which is what
+    * StreamingSpec pins: streamed-with-watermark == batch, window by
+    * window.
+    */
+  def windowedCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events.withColumn("ts", ts))(d => events.withColumn("ts", ts).withWatermark("ts", d))
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(cents).as("value_cents"))
+      .select(unix_timestamp(col("w.start")).as("hour_ts"), col("event_type"),
+        col("n_events"), col("value_cents"))
+  }
+}

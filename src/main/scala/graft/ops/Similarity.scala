@@ -87,15 +87,15 @@ object Similarity {
   val MinHashFns = 16
   val MinHashBands = 4 // 4 bands x 4 rows
 
-  private val minhashU = udf { (sh: Seq[String]) =>
+  private def minhashU(fns: Int) = udf { (sh: Seq[String]) =>
     if (sh == null || sh.isEmpty) null
     else {
-      val sig = new Array[Long](MinHashFns)
+      val sig = new Array[Long](fns)
       java.util.Arrays.fill(sig, Long.MaxValue)
       for (s <- sh) {
         val h = Hashing.fnv1a64(s)
         var i = 0
-        while (i < MinHashFns) {
+        while (i < fns) {
           // xorshift-mix per hash function seed; universal enough for LSH
           val mixed = java.lang.Long.rotateLeft(h, i * 7 + 1) * (2654435761L + 2L * i) + i
           if (java.lang.Long.compareUnsigned(mixed, sig(i)) < 0) sig(i) = mixed
@@ -107,23 +107,31 @@ object Similarity {
   }
 
   /** MinHash signatures over word shingles (deterministic, seedless —
-    * derived from FNV + fixed odd multipliers).
+    * derived from FNV + fixed odd multipliers). `fns` = signature length.
     */
-  def minhashSignatures(docs: DataFrame, n: Int): DataFrame =
+  def minhashSignatures(docs: DataFrame, n: Int, fns: Int = MinHashFns): DataFrame =
     docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashU(col("sh")).as("sig"),
+      .select(col("doc_id"), minhashU(fns)(col("sh")).as("sig"),
         size(col("sh")).cast("long").as("set_size"))
 
-  /** MinHash LSH candidate pairs: band the signature (4 bands x 4 rows),
-    * bucket-join on (band, hash(band slice)), then verify with the estimated
-    * Jaccard = fraction of agreeing minhashes. Only (doc_id, sig) shuffles.
+  /** MinHash LSH candidate pairs: band the signature (default 4 bands x 4
+    * rows), bucket-join on (band, hash(band slice)), then verify with the
+    * estimated Jaccard = fraction of agreeing minhashes. Only (doc_id, sig)
+    * shuffles.
+    *
+    * `bands`/`rowsPerBand` are the candidate-threshold knobs: a pair becomes
+    * a candidate when >= 1 band agrees fully, which happens with probability
+    * 1-(1-J^r)^b — the S-curve midpoint sits at J ~ (1/b)^(1/r) (defaults:
+    * (1/4)^(1/4) ~ 0.71). More bands -> lower threshold / more candidates;
+    * longer rows -> sharper cutoff. Signature length = bands * rowsPerBand.
     */
-  def minhashLshPairs(docs: DataFrame, n: Int, minAgree: Int): DataFrame = {
-    val sigs = minhashSignatures(docs, n)
-    val rowsPerBand = MinHashFns / MinHashBands
+  def minhashLshPairs(docs: DataFrame, n: Int, minAgree: Int,
+      bands: Int = MinHashBands, rowsPerBand: Int = MinHashFns / MinHashBands): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0, "bands and rowsPerBand must be positive")
+    val sigs = minhashSignatures(docs, n, bands * rowsPerBand)
     val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bslice", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
       // the murmur bucket is the narrow shuffle key; the band VALUES ride
       // along so candidate semantics are hash-collision-free (share >= 1

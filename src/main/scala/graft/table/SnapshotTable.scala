@@ -30,10 +30,19 @@ import scala.jdk.CollectionConverters._
   */
 object SnapshotTable {
 
+  /** `wall_ms` is MEASURED per-bucket task time (not run wall / bucket
+    * count): every row's production time is attributed to its bucket by a
+    * timing iterator wrapped around the pipeline output (see
+    * [[timedByBucket]]), so skew between buckets is visible in lineage.
+    */
   final case class BucketLineage(
       bucket: Int, n_docs: Long, n_rows: Long, wall_ms: Long, snapshot_id: Int)
 
   private def snapshotsDir(root: String) = Paths.get(root, "_snapshots")
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(UTF_8)).map("%02x".format(_)).mkString
 
   /** Read the cumulative completed-bucket set from the current manifest. */
   def completedBuckets(root: String): Set[Int] = {
@@ -61,8 +70,23 @@ object SnapshotTable {
     else Files.readString(cur).trim.stripPrefix("v").stripSuffix(".json").toInt
   }
 
+  /** Schema marker of the current snapshot, if any. Guards resume against
+    * silently mixing rows of a different pipeline output shape into a table
+    * written by an older code version (the write would succeed and only the
+    * sink derivation would fail, after the mixed data was committed).
+    */
+  private[table] def currentSchemaMd5(root: String): Option[String] = {
+    val cur = snapshotsDir(root).resolve("current")
+    if (!Files.exists(cur)) None
+    else {
+      val manifest = snapshotsDir(root).resolve(Files.readString(cur).trim)
+      """"schema_md5"\s*:\s*"([0-9a-f]{32})"""".r
+        .findFirstMatchIn(Files.readString(manifest)).map(_.group(1))
+    }
+  }
+
   private def commitSnapshot(root: String, completed: Set[Int],
-      lineage: Seq[BucketLineage]): Int = {
+      lineage: Seq[BucketLineage], schemaMd5: String): Int = {
     val dir = snapshotsDir(root)
     Files.createDirectories(dir)
     val parent = currentSnapshotId(root)
@@ -73,6 +97,7 @@ object SnapshotTable {
     val json =
       s"""{"snapshot_id":$id,"parent_id":$parent,""" +
         s""""timestamp":"${java.time.Instant.now()}",""" +
+        s""""schema_md5":"$schemaMd5",""" +
         s""""completed":[${completed.toSeq.sorted.mkString(",")}],""" +
         s""""lineage":$lineageJson}"""
     Files.writeString(dir.resolve(s"v$id.json"), json, UTF_8)
@@ -101,6 +126,23 @@ object SnapshotTable {
     val missing = (0 until nBuckets).filterNot(done).take(maxBucketsPerRun)
     if (missing.isEmpty) return Set.empty
 
+    val bucketed = docs.withColumn("bucket",
+      pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
+    val subset = bucketed.filter(col("bucket").isin(missing.map(Int.box): _*))
+    val out = pipeline(subset.drop("bucket"))
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
+
+    // refuse to resume a table whose committed rows have a different pipeline
+    // output shape (e.g. out dir written by an older code version): mixing
+    // schemas would commit fine and only break at sink-derivation time
+    val schemaMd5 = md5Hex(out.schema.toDDL)
+    currentSchemaMd5(root).foreach { prev =>
+      require(prev == schemaMd5,
+        s"snapshot table at $root was committed with a different pipeline " +
+          s"output schema (manifest schema_md5=$prev, current=$schemaMd5); " +
+          "refusing to resume — use a fresh --out dir or rerun the old build")
+    }
+
     // Clean uncommitted partials: a kill mid-write leaves bucket dirs with no
     // manifest entry; Iceberg readers only see manifest-listed files — our
     // equivalent is deleting un-snapshotted bucket dirs before reprocessing,
@@ -112,37 +154,83 @@ object SnapshotTable {
       }
     }
 
-    val t0 = System.currentTimeMillis()
-    val bucketed = docs.withColumn("bucket",
-      pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
-    val subset = bucketed.filter(col("bucket").isin(missing.map(Int.box): _*))
-    val out = pipeline(subset.drop("bucket"))
-      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
-
-    out.write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$root/data")
+    val bucketNanos = spark.sparkContext.collectionAccumulator[(Int, Long)]("graft.bucketNanos")
+    timedByBucket(out, bucketNanos)
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$root/data")
 
     // lineage: per-bucket doc/row counts from the files just written — a
     // cheap parquet re-scan of only the new bucket dirs, NOT a second
     // execution of the pipeline (the former out.groupBy here re-ran the
-    // whole pipeline plan, doubling job cost)
-    val counts = spark.read
-      .option("basePath", s"$root/data")
-      .parquet(missing.map(b => s"$root/data/bucket=$b"): _*)
-      .groupBy("bucket").agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("doc_id")).as("n_docs"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val wall = System.currentTimeMillis() - t0
+    // whole pipeline plan, doubling job cost). A bucket with zero output
+    // rows gets NO dir from partitionBy — filter to dirs that exist, or the
+    // read throws PATH_NOT_FOUND after the data append but before the
+    // commit, wedging every future resume at the same point.
+    val newDirs = missing.map(b => s"$root/data/bucket=$b")
+      .filter(p => Files.exists(Paths.get(p)))
+    val counts =
+      if (newDirs.isEmpty) Map.empty[Int, (Long, Long)]
+      else spark.read
+        .option("basePath", s"$root/data")
+        .parquet(newDirs: _*)
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nanos = bucketNanos.value.asScala
+      .groupMapReduce(_._1)(_._2)(_ + _)
     val id = currentSnapshotId(root) + 1
     val lineage = missing.map { b =>
       val (rows, docsN) = counts.getOrElse(b, (0L, 0L))
-      BucketLineage(b, docsN, rows, wall / missing.size, id)
+      BucketLineage(b, docsN, rows, nanos.getOrElse(b, 0L) / 1000000L, id)
     }
-    commitSnapshot(root, done ++ missing, lineage)
+    commitSnapshot(root, done ++ missing, lineage, schemaMd5)
 
     import spark.implicits._
     lineage.toDF().write.mode(SaveMode.Append).parquet(s"$root/_metrics")
     missing.toSet
+  }
+
+  /** Wrap the bucketed pipeline output with a per-partition timing iterator
+    * that attributes each row's PRODUCTION time (the upstream pipeline's
+    * hasNext+next work, which is where pull-based whole-stage codegen spends
+    * it) to that row's bucket, flushing aggregated (bucket, nanos) into the
+    * accumulator at partition end. Measures actual per-bucket task time with
+    * no extra exchange and no pipeline re-execution; the only cost is the
+    * Row encode/decode at this single point. Task retries double-count into
+    * the accumulator — acceptable for lineage metrics, not data.
+    */
+  private def timedByBucket(
+      out: DataFrame,
+      acc: org.apache.spark.util.CollectionAccumulator[(Int, Long)]): DataFrame = {
+    val schema = out.schema
+    val bucketIdx = schema.fieldIndex("bucket")
+    out.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.Row] {
+        private val agg = scala.collection.mutable.HashMap.empty[Int, Long]
+        private var pending = 0L
+        private var flushed = false
+        override def hasNext: Boolean = {
+          val t0 = System.nanoTime()
+          val h = it.hasNext
+          pending += System.nanoTime() - t0
+          if (!h && !flushed) {
+            flushed = true
+            agg.foreach { case (b, n) => acc.add((b, n)) }
+          }
+          h
+        }
+        override def next(): org.apache.spark.sql.Row = {
+          val t0 = System.nanoTime()
+          val r = it.next()
+          pending += System.nanoTime() - t0
+          agg.updateWith(r.getInt(bucketIdx)) {
+            case Some(n) => Some(n + pending); case None => Some(pending)
+          }
+          pending = 0L
+          r
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Read the materialized table back (all committed buckets). */

@@ -222,6 +222,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(accent.count() == sourceDocs.size.toLong)
   }
 
+  test("metrics contract: all-chrome doc emits one row, input_count=0, dedup_rate_bp=0") {
+    import org.apache.spark.sql.Row
+    // one chunk that survives the 60-byte minimum but is chrome (matches
+    // "wifi|battery|charging" and is < 100 bytes): every chunk of the doc
+    // is dropped by the chrome filter, so the dedup kernel sees ZERO input
+    val chrome = "wifi battery charging wifi battery charging wifi battery charging"
+    assert(chrome.getBytes("UTF-8").length >= 60 && chrome.getBytes("UTF-8").length < 100)
+    import spark.implicits._
+    val docs = Seq(("allchrome", chrome)).toDF("doc_id", "t")
+      .select(col("doc_id"), array(struct(
+        lit("text").as("kind"), col("t").as("text"),
+        lit("").as("media_ref"), lit(0).as("offset"))).as("spans"))
+    val rows = ExtractionJob.metrics(docs)(spark).collect()
+    assert(rows.length == 1, "one metrics row per doc that produced >= 1 chunk")
+    val r = rows.head
+    assert(r.getAs[Long]("n_chunks") == 1L)
+    assert(r.getAs[Long]("n_chrome_dropped") == 1L)
+    assert(r.getAs[Long]("input_count") == 0L)
+    assert(r.getAs[Long]("boilerplate_ratio_bp") == 10000L)
+    assert(r.getAs[Long]("dedup_rate_bp") == 0L, "all-chrome doc: rate is 0, not null")
+  }
+
   test("stats invariants hold per doc: kept+dropped=input, exact+near=dropped") {
     val docs = Corpus.docsTable(spark, sfDir)
     val st = DedupeOps.stats(

@@ -122,22 +122,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("clusterWinners: min-label propagation on a small fixture graph") {
+  test("clusterWinners: connected components on a small fixture graph") {
     import spark.implicits._
-    // components: {a,b,c} (chain a-b-c), {x,y}; winner = min doc_id reachable
+    // components: {a,b,c} (chain a-b-c), {x,y}; winner = component min
     val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
       .toDF("doc_a", "doc_b")
-    val got = LshDedup.clusterWinners(pairs, 3)
+    val got = LshDedup.clusterWinners(pairs)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"), got.toString)
   }
 
-  test("clusterWinners: diameter bound honored (chain of 5 within 3 iters)") {
+  test("clusterWinners: deep chain converges to the true component min") {
     import spark.implicits._
-    val pairs = Seq(("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("d4", "d5"))
-      .toDF("doc_a", "doc_b")
-    val got = LshDedup.clusterWinners(pairs, 4)
+    // chain of 10 (diameter 9) — the former fixed-3-iteration propagation
+    // mislabeled the tail of exactly this shape (d9 could only see 3 hops);
+    // convergent propagation + pointer jumping must label ALL of it d0
+    val pairs = (0 until 9).map(i => (f"d$i", f"d${i + 1}")).toDF("doc_a", "doc_b")
+    val got = LshDedup.clusterWinners(pairs)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(got.values.forall(_ == "d1"), s"all five should reach d1: $got")
+    assert(got.size == 10 && got.values.forall(_ == "d0"),
+      s"all ten chain members should reach d0: $got")
+  }
+
+  test("clusterWinners: pointer jumping needs far fewer rounds than the diameter") {
+    import spark.implicits._
+    // chain of 33 (diameter 32): plain min-propagation would need 32 rounds;
+    // the pointer-jump variant must finish inside the default maxRounds=20
+    // (it converges in ~log2(32)+slack) — this is the 10^12-scale argument
+    val n = 33
+    val pairs = (0 until n - 1).map(i => (f"d$i%03d", f"d${i + 1}%03d")).toDF("doc_a", "doc_b")
+    val got = LshDedup.clusterWinners(pairs, maxRounds = 10)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == n && got.values.forall(_ == "d000"), got.toString)
   }
 }

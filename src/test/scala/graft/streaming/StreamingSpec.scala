@@ -59,4 +59,51 @@ class StreamingSpec extends AnyFunSuite {
       docsDf.unpersist()
     }
   }
+
+  test("windowed event metrics: streamed with watermark == batch, window by window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val src = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .collect().toSeq.sortBy(_._1)
+    val expected = graft.ops.Events.windowedCounts(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val out = graft.ops.Events.windowedCounts(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      watermark = Some("10 minutes"))
+    // APPEND mode: a window is only emitted once the watermark passes its
+    // end — the real guarantee a production sink needs (each window row is
+    // final, exactly once), which "complete" mode would not exercise
+    val query = out.writeStream.format("memory").queryName("events_stream")
+      .outputMode("append").start()
+    try {
+      val (first, second) = src.splitAt(src.size / 2)
+      mem.addData(first)
+      query.processAllAvailable()
+      mem.addData(second)
+      query.processAllAvailable()
+      // sentinel events 2h+ past the last real event advance the watermark
+      // beyond every real window's end; the extra micro-batches give the
+      // engine the trigger it needs to finalize and emit them
+      val maxTs = src.map(_._2.getTime).max
+      val sentinel = (Long.MaxValue, new java.sql.Timestamp(maxTs + 2 * 3600 * 1000L),
+        0L, "sentinel", 0.0)
+      mem.addData(Seq(sentinel))
+      query.processAllAvailable()
+      mem.addData(Seq(sentinel.copy(_2 = new java.sql.Timestamp(maxTs + 3 * 3600 * 1000L))))
+      query.processAllAvailable()
+
+      val got = spark.sql(
+          "SELECT hour_ts, event_type, n_events, value_cents FROM events_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .filter(_._2 != "sentinel").toSet
+      assert(got == expected, s"streamed windows must equal batch windows " +
+        s"(got ${got.size}, expected ${expected.size})")
+    } finally query.stop()
+  }
 }

@@ -57,6 +57,48 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(m.agg(sum("n_rows")).head.getLong(0) == expected.length.toLong)
   }
 
+  test("zero-row buckets commit cleanly (no dir from partitionBy, no crash, 0-count lineage)") {
+    val root = Files.createTempDirectory("snap3").toString
+    // 3 docs hashed into 16 buckets -> most buckets get NO output rows and
+    // therefore NO bucket dir; the lineage re-scan must not read them
+    val docs = Corpus.docsTable(spark, sfDir).limit(3)
+    val nBuckets = 16
+    val ran = SnapshotTable.runResumable(docs, pipeline, root, nBuckets)
+    assert(ran == (0 until nBuckets).toSet, "ALL buckets commit, including empty ones")
+    assert(SnapshotTable.runResumable(docs, pipeline, root, nBuckets).isEmpty)
+    val m = SnapshotTable.metrics(root).collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("n_rows")).toMap
+    assert(m.size == nBuckets)
+    assert(m.values.exists(_ == 0L), "empty buckets carry 0-count lineage rows")
+    assert(m.values.sum == pipeline(docs).count())
+  }
+
+  test("per-bucket lineage wall_ms is measured (non-negative, non-trivial total)") {
+    val root = Files.createTempDirectory("snap4").toString
+    val docs = Corpus.docsTable(spark, sfDir)
+    SnapshotTable.runResumable(docs, pipeline, root, 4)
+    val walls = SnapshotTable.metrics(root).collect().map(_.getAs[Long]("wall_ms"))
+    assert(walls.length == 4 && walls.forall(_ >= 0L))
+    // 500 docs through chunk+simhash dedup is far more than 4 ms of task
+    // time; an evenly-divided-zero or unmeasured column would fail this
+    assert(walls.sum > 0L, s"expected measured task time, got ${walls.toSeq}")
+  }
+
+  test("resume refuses a table written with a different pipeline output schema") {
+    val root = Files.createTempDirectory("snap5").toString
+    val docs = Corpus.docsTable(spark, sfDir)
+    SnapshotTable.runResumable(docs, pipeline, root, 4, maxBucketsPerRun = 2)
+    val other = (d: org.apache.spark.sql.DataFrame) =>
+      pipeline(d).withColumn("extra", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.runResumable(docs, other, root, 4)
+    }
+    assert(e.getMessage.contains("different pipeline output schema"))
+    // and the matching pipeline still resumes fine
+    SnapshotTable.runResumable(docs, pipeline, root, 4)
+    assert(SnapshotTable.completedBuckets(root) == (0 until 4).toSet)
+  }
+
   test("uncommitted partial data is discarded on resume (no duplicates)") {
     val root = Files.createTempDirectory("snap2").toString
     val docs = Corpus.docsTable(spark, sfDir)
