@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// single source of truth for the library version: DoctorMain reads this
+// generated resource instead of hand-syncing a literal with build.sbt
+Compile / resourceGenerators += Def.task {
+  val f = (Compile / resourceManaged).value / "graft-version.txt"
+  IO.write(f, version.value)
+  Seq(f)
+}.taskValue
 // Route forked `run` output straight to this process's stdout — no sbt
 // [info] prefix, so Bench's single JSON line parses cleanly from stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

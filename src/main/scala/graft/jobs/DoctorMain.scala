@@ -11,8 +11,17 @@ import org.apache.spark.sql.SparkSession
   */
 object DoctorMain {
 
-  /** Library version (the `version` subcommand surface). */
-  val Version = "0.1.0" // keep in sync with build.sbt ThisBuild/version
+  /** Library version (the `version` subcommand surface) — read from the
+    * sbt-generated resource, so build.sbt's `version` is the single source
+    * of truth.
+    */
+  val Version: String =
+    Option(getClass.getResourceAsStream("/graft-version.txt"))
+      .map { in =>
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+      .getOrElse("unknown")
 
   val Tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

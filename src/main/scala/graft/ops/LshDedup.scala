@@ -70,6 +70,15 @@ object LshDedup {
     * its iteration budget (chains of drifting boilerplate are exactly that
     * shape at web scale).
     *
+    * Correctness argument: the edge set carries SELF-LOOPS, so each round's
+    * min includes the node's own previous label — labels are monotone
+    * non-increasing and bounded below by the component min, hence a
+    * fixpoint always exists and is always reached. At any fixpoint,
+    * L(x) <= L(y) across every edge and (by symmetry) L(y) <= L(x), so L
+    * is constant per component; labels only ever hold ids of component
+    * members, so that constant is the component min. "No change" therefore
+    * certifies the exact answer, not just a stall.
+    *
     * Plan shape per round: two joins + one agg over PERSISTED edges, with
     * `localCheckpoint` truncating the growing lineage, plus one count
     * action for the convergence check. maxRounds is a runaway bound, not a
@@ -77,8 +86,12 @@ object LshDedup {
     * rather than silently returning partial components.
     */
   def clusterWinners(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+    val half = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+    val selfLoops = half.select(col("x")).union(pairs.select(col("doc_b").as("x")))
+      .distinct().withColumn("y", col("x"))
+    val edges = half
       .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      .union(selfLoops)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("x").as("doc_id"))
       .agg(least(min(col("y")), first(col("x"))).as("winner"))

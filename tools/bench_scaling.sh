@@ -35,8 +35,11 @@ j8 = max(j8s, key=lambda j: j["docs_per_sec"])
 j32 = max(j32s, key=lambda j: j["docs_per_sec"])
 t8, t32 = j8["docs_per_sec"], j32["docs_per_sec"]
 eff = (t32 / t8) / (32 / 8)
-att8 = ", ".join(f"{j['docs_per_sec']:.0f}" for j in j8s)
-att32 = ", ".join(f"{j['docs_per_sec']:.0f}" for j in j32s)
+def att(js):
+    return ", ".join(
+        f"{j['docs_per_sec']:.0f} (steal {j.get('total_steal_sec', -1):.0f}s)"
+        for j in js)
+att8, att32 = att(j8s), att(j32s)
 md = f"""# BENCH — scaling evidence (written by tools/bench_scaling.sh)
 
 North rule: docs/sec throughput at two cluster sizes (N and 4N executors)
@@ -49,9 +52,11 @@ the whole pair is attempted {n}x ALTERNATING legs with the per-leg best kept
 — this VM has multi-minute >5x co-tenant CPU-steal episodes (observed
 swinging a single-pair efficiency between 0.67 and 1.16 for identical code);
 steal only ever slows a leg, so per-leg best approximates the uncontended
-machine. All attempts are listed below.
+machine. All attempts are listed below with the CPU-steal seconds measured
+from /proc/stat across each attempt — a direct indicator of which attempts
+ran contended.
 
-| parallelism | docs | pipeline sec | docs/sec (best) | all attempts (docs/sec) |
+| parallelism | docs | pipeline sec | docs/sec (best) | all attempts (docs/sec, steal) |
 |---|---|---|---|---|
 | local[8]  | {j8['pipeline_docs']} | {j8['pipeline_sec']:.2f} | {t8:.1f} | {att8} |
 | local[32] | {j32['pipeline_docs']} | {j32['pipeline_sec']:.2f} | {t32:.1f} | {att32} |
