@@ -186,6 +186,9 @@ object Queries {
     "q39_events_windowed" -> ((s, dir) =>
       Events.windowedMetrics(s.read.parquet(s"$dir/events.parquet"))),
 
+    "q40_events_sessions" -> ((s, dir) =>
+      Events.sessionize(s.read.parquet(s"$dir/events.parquet"))),
+
     // ---- doctor: testdata probe (the relational half of DoctorMain; the
     // env half — Spark/Scala/Java versions, parallelism — is the
     // graft.jobs.DoctorMain CLI, reference cmd/pipeline/doctor.go) ----
@@ -574,6 +577,17 @@ object Queries {
          |       CAST(SUM(cents) AS BIGINT) AS value_cents,
          |       COALESCE(MAX(gap_us), CAST(-1 AS BIGINT)) AS max_gap_us
          |FROM g GROUP BY 1, 2""").stripMargin,
+
+    "q40_events_sessions" ->
+      ("""WITH o AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS t, CAST(floor(value * 100) AS BIGINT) AS cents,
+         |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |s AS (SELECT *, CASE WHEN prev IS NULL OR t - prev >= 30*60*1000000 THEN 1 ELSE 0 END AS is_new FROM o),
+         |c AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+         |SELECT user_id, CAST(sid AS BIGINT) AS session_idx, MIN(t) AS start_us, MAX(t) AS end_us,
+         |       COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS value_cents
+         |FROM c GROUP BY 1, 2""").stripMargin,
 
     "q36_doctor_tables" ->
       graft.jobs.DoctorMain.Tables

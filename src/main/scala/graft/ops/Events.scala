@@ -61,6 +61,55 @@ object Events {
         col("n_events"), col("n_users"), col("value_cents"), col("max_gap_us"))
   }
 
+  /** Gap-based sessionization, batch form (oracled as q40): a user's
+    * events are split into sessions wherever the inter-event gap reaches
+    * `gapMinutes`; one row per session with start/end, count and the
+    * order-independent cents sum. Two stacked window functions + the final
+    * aggregate all cluster on user_id, so the whole operator is ONE hash
+    * exchange; the boundary predicate is `gap >= gapMinutes`, which matches
+    * `session_window`'s strict `<`-membership exactly (see
+    * [[sessionWindows]], the streaming twin — StreamingSpec pins the two
+    * to identical sessions).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val base = events.select(col("user_id"), col("event_id"),
+      unix_micros(ts).as("t"), cents.as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    base
+      .withColumn("is_new",
+        when(lag(col("t"), 1).over(w).isNull ||
+          col("t") - lag(col("t"), 1).over(w) >= gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("t")).as("start_us"),
+        max(col("t")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("value_cents"))
+  }
+
+  /** Sessionization via the built-in `session_window` — the form that runs
+    * UNCHANGED on a stream (merging session state is managed by the
+    * engine; with a watermark, append mode emits each session exactly once
+    * when the watermark passes sessionEnd+gap). Chosen over a hand-rolled
+    * `flatMapGroupsWithState` deliberately: composing the built-in is
+    * preference (a) in the custom-operator ladder — the state store,
+    * session merge and timeout logic come from the engine, codegen'd,
+    * instead of custom state code. [[sessionize]] is the relational twin
+    * whose DuckDB oracle locks the session semantics.
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events.withColumn("ts", ts))(d =>
+      events.withColumn("ts", ts).withWatermark("ts", d))
+    src.groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(cents).as("value_cents"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        col("n_events"), col("value_cents"))
+  }
+
   /** The streaming-safe windowed aggregate (no lag window, no exact
     * distinct — neither is expressible incrementally): tumbling 1-hour
     * `window()` + optional event-time watermark. The SAME function serves

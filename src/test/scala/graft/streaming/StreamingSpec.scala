@@ -106,4 +106,57 @@ class StreamingSpec extends AnyFunSuite {
         s"(got ${got.size}, expected ${expected.size})")
     } finally query.stop()
   }
+
+  test("sessionize (relational, oracled) == session_window (engine-managed) on membership") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val manual = graft.ops.Events.sessionize(events)
+      .select("user_id", "start_us", "n_events", "value_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val builtin = graft.ops.Events.sessionWindows(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(manual == builtin,
+      s"gap>=30min boundary must match session_window membership (${manual.size} vs ${builtin.size})")
+  }
+
+  test("sessions: streamed session_window with watermark == batch, session by session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val src = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .collect().toSeq.sortBy(_._1)
+    val expected = graft.ops.Events.sessionWindows(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val out = graft.ops.Events.sessionWindows(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      watermark = Some("10 minutes"))
+    val query = out.writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      val (first, second) = src.splitAt(src.size / 2)
+      mem.addData(first)
+      query.processAllAvailable()
+      mem.addData(second)
+      query.processAllAvailable()
+      val maxTs = src.map(_._2.getTime).max
+      val sentinelUser = -1L
+      mem.addData(Seq((Long.MaxValue, new java.sql.Timestamp(maxTs + 2 * 3600 * 1000L),
+        sentinelUser, "sentinel", 0.0)))
+      query.processAllAvailable()
+      mem.addData(Seq((Long.MaxValue - 1, new java.sql.Timestamp(maxTs + 3 * 3600 * 1000L),
+        sentinelUser, "sentinel", 0.0)))
+      query.processAllAvailable()
+
+      val got = spark.sql(
+          "SELECT user_id, start_us, n_events, value_cents FROM sessions_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 != sentinelUser).toSet
+      assert(got == expected, s"streamed sessions must equal batch sessions " +
+        s"(got ${got.size}, expected ${expected.size})")
+    } finally query.stop()
+  }
 }
