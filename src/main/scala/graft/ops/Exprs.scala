@@ -24,6 +24,15 @@ object Exprs {
     * character filter.
     */
   def normCol(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NormalizeExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
+  /** The original 4-pass built-in formulation of [[normCol]] — kept as the
+    * in-engine reference the fused expression is spec-tested against
+    * (ExprSpec: byte equality on the full corpus + adversarial fixtures).
+    */
+  def normColRegex(c: Column): Column =
     trim(
       regexp_replace(
         regexp_replace(

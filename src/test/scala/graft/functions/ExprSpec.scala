@@ -39,6 +39,36 @@ class ExprSpec extends AnyFunSuite {
       assert(got(s) == Hashing.fnv1a64(s))
   }
 
+  test("NormalizeExpr (fused) == regex-chain normalize, byte for byte") {
+    import spark.implicits._
+    // adversarial fixtures for the order-sensitive semantics: run collapse
+    // happens BEFORE the char filter ("a . b" keeps TWO spaces), newline
+    // runs vs space-separated newlines, CRLF (\r is filtered, not ws),
+    // Unicode letters/digits, astral-plane letters, all-strippable input
+    val fixtures = Seq(
+      "", " ", "a . b", "a \t b", "a\t.\tb", "tab\there",
+      "line1\r\nline2\r\rline3", "\n\n\nx\n\n", "\n \n", "\t\n\t",
+      "MiXeD CaSe 123 !@#", "café ÜBER naïve", "७ ٣ ½ ⅔ Ⅸ", // Nd vs No/Nl
+      "𝔘nicode astral 😀 emoji", "İstanbul ıı",
+      "...---...", "  leading and trailing  ", "a  .  b") ++
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("text").as[String].take(50)
+    val rows = fixtures.toDF("s")
+      .select(Exprs.normCol(col("s")).as("fused"),
+        Exprs.normColRegex(col("s")).as("chain"))
+      .collect()
+    for (r <- rows)
+      assert(r.getString(0) == r.getString(1),
+        s"fused='${r.getString(0)}' chain='${r.getString(1)}'")
+    // and on the full assembled corpus (every doc's raw text)
+    val corpus = graft.ops.Corpus.assemble(
+        graft.ops.Corpus.docsTable(spark, "/root/testdata/sf0.001"))
+      .select(Exprs.normCol(col("raw")).as("fused"),
+        Exprs.normColRegex(col("raw")).as("chain"))
+      .filter(col("fused") =!= col("chain")).count()
+    assert(corpus == 0L, "fused normalize must equal the regex chain corpus-wide")
+  }
+
   test("SQL registration via GraftExtensions") {
     import spark.implicits._
     samples.toDF("s").createOrReplaceTempView("t")
