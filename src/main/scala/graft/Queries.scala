@@ -180,6 +180,10 @@ object Queries {
     "q32_media_meta" -> ((s, dir) => Multimodal.mediaMeta(corpus(s, dir))),
     "q33_media_decode" -> ((s, dir) =>
       Multimodal.decodeBatch(Multimodal.mediaTable(corpus(s, dir)))(s).toDF()),
+    "q41_media_resize" -> ((s, dir) =>
+      Multimodal.resizeBatch(Multimodal.mediaTable(corpus(s, dir)))(s)),
+    "q42_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.mediaTable(corpus(s, dir)))),
 
     // ---- events: windowed ingestion metrics (makes the doctor's events
     // probe load-bearing; streaming twin in streaming/StreamingSpec) ----
@@ -481,6 +485,41 @@ object Queries {
          |  CAST(480 + (CAST(h AS UBIGINT) >> 17) % 720 AS BIGINT) AS height,
          |  CAST(5000 + (CAST(h AS UBIGINT) >> 32) % 5000 AS BIGINT) AS ocr_conf_bp
          |FROM hh""").stripMargin,
+
+    "q41_media_resize" ->
+      (s"""WITH media AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         |         unnest(['img_' || CAST(doc_id AS VARCHAR) || '_1.png',
+         |                 'img_' || CAST(doc_id AS VARCHAR) || '_2.jpg']) AS media_ref
+         |  FROM documents),
+         |pay AS (SELECT doc_id, media_ref, 'IMGDATA:' || media_ref || ':' || repeat('x', 64) AS payload FROM media),
+         |hh AS (SELECT doc_id, media_ref, ${OracleHash.fnvOf("payload")} AS h FROM pay),
+         |dims AS (SELECT doc_id, media_ref,
+         |  CAST(640 + ((CAST(${OracleHash.toSigned("h")} AS HUGEINT) % 1280 + 1280) % 1280) AS BIGINT) AS width,
+         |  CAST(480 + (CAST(h AS UBIGINT) >> 17) % 720 AS BIGINT) AS height
+         |  FROM hh)
+         |SELECT doc_id, media_ref, width, height,
+         |  CASE WHEN greatest(width, height) <= 512 THEN width
+         |       ELSE CAST(floor(width * 512.0 / greatest(width, height)) AS BIGINT) END AS out_w,
+         |  CASE WHEN greatest(width, height) <= 512 THEN height
+         |       ELSE CAST(floor(height * 512.0 / greatest(width, height)) AS BIGINT) END AS out_h
+         |FROM dims""").stripMargin,
+
+    "q42_frame_sample" ->
+      (s"""WITH media AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         |         unnest(['img_' || CAST(doc_id AS VARCHAR) || '_1.png',
+         |                 'img_' || CAST(doc_id AS VARCHAR) || '_2.jpg']) AS media_ref
+         |  FROM documents),
+         |pay AS (SELECT doc_id, media_ref, 'IMGDATA:' || media_ref || ':' || repeat('x', 64) AS payload FROM media),
+         |hh AS (SELECT doc_id, media_ref, ${OracleHash.fnvOf("payload")} AS h FROM pay),
+         |nf AS (SELECT doc_id, media_ref,
+         |  CAST(((CAST(${OracleHash.toSigned("h")} AS HUGEINT) % 240 + 240) % 240) + 1 AS BIGINT) AS n_frames
+         |  FROM hh)
+         |SELECT doc_id, media_ref, n_frames,
+         |       CAST(unnest(range(0, n_frames, 24)) AS BIGINT) AS frame_idx,
+         |       CAST(floor(CAST(unnest(range(0, n_frames, 24)) AS BIGINT) * 1000.0 / 24) AS BIGINT) AS ts_ms
+         |FROM nf""").stripMargin,
 
     "q22_dedup_exact_chunks" ->
       (s"$ChunkCte SELECT md5(norm) AS norm_md5, " +

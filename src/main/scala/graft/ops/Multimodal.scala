@@ -70,6 +70,42 @@ object Multimodal {
       }
   }
 
+  /** Resize to fit `maxDim` (aspect preserved, integer floor): the
+    * dimension PROBE is the batched stub decode; the scaling itself is
+    * pure Catalyst arithmetic on top — a real codec swap changes only
+    * [[stubDecode]], the scaling plan is production-ready. No shuffle:
+    * decode batches + a map-side projection.
+    */
+  def resizeBatch(media: DataFrame, maxDim: Int = 512)(
+      implicit spark: SparkSession): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    decodeBatch(media).toDF()
+      .select(
+        col("doc_id"), col("media_ref"), col("width"), col("height"),
+        when(longest <= maxDim, col("width"))
+          .otherwise(floor(col("width") * maxDim / longest)).cast("long").as("out_w"),
+        when(longest <= maxDim, col("height"))
+          .otherwise(floor(col("height") * maxDim / longest)).cast("long").as("out_h"))
+  }
+
+  /** Frame sampling for video-like payloads: every `everyNth` frame of a
+    * clip whose frame count comes from the stub container probe (FNV of
+    * the payload — a real probe would read the container header). The
+    * sampling PLAN is pure Catalyst — `sequence` + `explode`, codegen'd,
+    * zero shuffle, fan-out bounded by n_frames/everyNth — which is the
+    * part that matters at 100 TB: frame rows never materialize more than
+    * the sampled subset.
+    */
+  def frameSample(media: DataFrame, everyNth: Int = 24, fps: Int = 24): DataFrame =
+    media
+      .withColumn("h", Exprs.fnv1a64(decode(col("payload"), "UTF-8")))
+      .withColumn("n_frames", (pmod(col("h"), lit(240L)) + 1L).cast("long"))
+      .select(
+        col("doc_id"), col("media_ref"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(everyNth.toLong)))
+          .as("frame_idx"))
+      .withColumn("ts_ms", floor(col("frame_idx") * 1000.0 / fps).cast("long"))
+
   /** Catalyst-only metadata projection (format + sizes) — the part of the
     * decode that IS expressible without the stub, used for the oracle query.
     */

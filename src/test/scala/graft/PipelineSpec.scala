@@ -222,6 +222,87 @@ class PipelineSpec extends AnyFunSuite {
     assert(accent.count() == sourceDocs.size.toLong)
   }
 
+  test("large-document skew: a 100x doc stays correct (north_rule skew surface)") {
+    import spark.implicits._
+    // one pathological doc with 300 paragraphs next to two 3-paragraph docs
+    // — per-doc dedup work is bounded by chunks*window and placement is
+    // salted at the table-write level, but the CORRECTNESS of the greedy
+    // scan on a deep doc (window wraps, survivor renumbering) is what this
+    // pins against the sequential kernel
+    // paragraphs must be lexically DISTANT, not just distinct: near-identical
+    // strings ("number 7" vs "number 8") legitimately near-dup under simhash
+    // (first version of this test proved that the hard way), so each index
+    // draws 12 words from a 43-word vocabulary by coprime stride
+    val vocab = ("archive beacon cipher dynamo ember fulcrum glacier harbor isotope " +
+      "jigsaw keystone lattice meridian nebula obelisk pylon quarry rampart summit " +
+      "tundra umbra vertex wharf xenon yonder zephyr anchor bastion cobalt delta " +
+      "ensign fathom gantry helix ingot javelin krypton lumen mantle nimbus onyx " +
+      "prism quill").split(" ")
+    def para(tag: String, i: Int) =
+      s"unique $tag paragraph $i " +
+        (0 until 12).map { j =>
+          // hash-mixed pick: a sliding-window pick made CONSECUTIVE
+          // paragraphs share 10/12 words and the whole corpus self-near-
+          // dupped under simhash (first version of this test); mixing
+          // decorrelates paragraphs to ~3 shared words in random positions
+          val h = (i * 2654435761L + j * 40503L + (i.toLong * j * 7919L)) >>> 7
+          vocab((h % vocab.length).toInt)
+        }.mkString(" ")
+    // window-boundary probes must be NEAR duplicates (hamming in (0, 6]) —
+    // byte-identical repeats are caught by the UNWINDOWED exact pre-pass
+    // (dedupe dispatcher: exact then simhash on survivors), so only
+    // near-dups exercise the window. Premises are CHECKED, not assumed:
+    def sig(s: String) = Hashing.simhash64(TextKernel.normalize(s), 5)
+    def nearOf(base: String, avoid: Seq[String]): String = {
+      // single-character substitutions perturb only ~k byte-grams, which is
+      // what keeps the simhash within the threshold
+      val candidates = (base.length / 2 until base.length)
+        .filter(p => base(p).isLetter && base(p) != 'q').map(p => base.updated(p, 'q'))
+      candidates.find { c =>
+        val d = java.lang.Long.bitCount(sig(c) ^ sig(base))
+        d > 0 && d <= 6 &&
+          avoid.forall(o => java.lang.Long.bitCount(sig(c) ^ sig(o)) > 6)
+      }.getOrElse(fail(s"no usable near-dup mutation for '${base.take(30)}'"))
+    }
+    val paras = (1 to 280).map(para("big", _))
+    // near-dup of para 7: at scan time ~280 chunks are kept, window=250
+    // covers kept[30..280) — para 7 (kept idx 6) is OUTSIDE, and the
+    // mutation is checked to be > threshold from EVERY window member
+    val near7 = nearOf(para("big", 7), paras.drop(30))
+    // near-dup of para 141: kept idx 140 IS inside the window -> dropped
+    val near141 = nearOf(para("big", 141), Nil)
+    val big = (paras ++ Seq(near7, near141)).mkString("\n\n")
+    val docs = Seq(
+      ("big", big),
+      ("s1", (1 to 3).map(para("one", _)).mkString("\n\n")),
+      ("s2", (1 to 3).map(para("two", _)).mkString("\n\n")))
+    val frame = docs.toDF("doc_id", "t")
+      .select(col("doc_id"), array(struct(
+        lit("text").as("kind"), col("t").as("text"),
+        lit("").as("media_ref"), lit(0).as("offset"))).as("spans"))
+    val got = jobs.ExtractionJob.outputSpans(frame)(spark)
+      .collect().map(r => (r.getString(0), (r.getString(2), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._2).map(_._1).toSeq).toMap
+    for ((docId, t) <- docs) {
+      val chunks = TextKernel.chunkText(t, Corpus.MinChunkChars)
+      val filtered = TextKernel.filterChrome(
+        chunks, TextKernel.defaultChromePatterns, Corpus.ChromeMaxLength)
+      val expected = DedupeKernel.dedupe(filtered, DedupeConfig()).kept.map(_.text)
+      assert(got(docId) == expected, s"skewed-corpus mismatch for $docId")
+    }
+    // premise: the corpus itself must not self-near-dup, or the window
+    // arithmetic below is meaningless (kept must be ~280 when near7 scans)
+    assert(got("big").size >= 272,
+      s"corpus unexpectedly self-deduped to ${got("big").size} — fix para()")
+    // near-dup whose original fell out of the window must be KEPT
+    // (full-history near-dedup would wrongly drop it); near-dup whose
+    // original is still inside the window must be DROPPED
+    assert(got("big").contains(near7),
+      "near-dup outside the window=250 horizon must survive")
+    assert(!got("big").contains(near141),
+      "near-dup inside the window must be dropped")
+  }
+
   test("metrics contract: all-chrome doc emits one row, input_count=0, dedup_rate_bp=0") {
     import org.apache.spark.sql.Row
     // one chunk that survives the 60-byte minimum but is chrome (matches
