@@ -31,6 +31,13 @@ import graft.table.SnapshotTable
   */
 object SubmitMain {
 
+  /** Cap for the driver-side single-file artifact writers (writeArtifacts):
+    * above this many docs the artifact tree is skipped with a notice — the
+    * reference contract targets single-document runs, and a per-doc file
+    * loop must never become the bottleneck of a corpus-scale job.
+    */
+  val ArtifactDocLimit = 100000L
+
   final case class Args(
       sfDir: String = "",
       out: String = "",
@@ -160,6 +167,15 @@ object SubmitMain {
 
     // result.md (reference result.md, main.go:276; WriteMarkdown text.go:249-279)
     val nDocs = table.select("doc_id").distinct().count()
+    if (nDocs > ArtifactDocLimit) {
+      // the single-FILE contract is a small-corpus fidelity feature; at
+      // corpus scale a driver-side per-doc file loop is the wrong tool —
+      // the distributed sinks above carry the same content
+      println(s"[graft] skipping artifacts: $nDocs docs > $ArtifactDocLimit " +
+        "(single-file artifact tree is the small-corpus contract; " +
+        "use the parquet/json directory sinks at this scale)")
+      return
+    }
     val md = Render.markdown(kept.withColumn("idx", col("kept_order")),
         lit(cfg.markdownTitle), includeChunkIds = cfg.includeChunkIds)
       .orderBy("doc_id").select("doc_id", "markdown")
