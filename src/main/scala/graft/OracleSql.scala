@@ -40,6 +40,47 @@ object OracleSql {
   def chromeKeep(normCol: String): String =
     raw"NOT (strlen($normCol) < ${Corpus.ChromeMaxLength} AND regexp_matches($normCol, '$ChromeCombined'))"
 
+  // ---- HTML boilerplate-strip family (dialect twins of graft.ops.Html) ----
+
+  /** Entity decode chain — same pairs/order as Html.decodeEntities
+    * (`&amp;` last); DuckDB plain replace() == Spark regexp_replace here
+    * because none of the entity strings carry regex metacharacters.
+    */
+  def htmlDecode(x: String): String =
+    s"replace(replace(replace(replace(replace(replace(replace($x" +
+      ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', '''')" +
+      ", '&nbsp;', ' '), '&copy;', '(c)'), '&amp;', '&')"
+
+  /** Dialect twin of Html.visibleText (NB DuckDB regexp_replace needs the
+    * explicit 'g' flag — it replaces only the first match by default,
+    * where Spark always replaces all).
+    */
+  def htmlVisible(x: String): String =
+    raw"trim(regexp_replace(${htmlDecode(s"regexp_replace($x, '<[^>]*>', ' ', 'g')")}, '[ \t\r\n]+', ' ', 'g'))"
+
+  /** Dialect twin of Html.dropInvisible. */
+  def htmlDropInvisible(x: String): String =
+    s"regexp_replace(regexp_replace($x, '(?s)<script[^>]*>.*?</script>', ' ', 'g'), '(?s)<style[^>]*>.*?</style>', ' ', 'g')"
+
+  /** Shared CTE prefix for the q44/q45 oracles: html -> visible blocks with
+    * link text (COALESCE because DuckDB's regexp_extract_all yields NULL on
+    * zero matches where Spark yields an empty array).
+    */
+  val HtmlBlocksCte: String = {
+    val h = Corpus.htmlSql("doc_id", "text")
+    s"""WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+       |hh AS (SELECT doc_id, $h AS html FROM h),
+       |nj AS (SELECT doc_id, ${htmlDropInvisible("html")} AS nojs FROM hh),
+       |sp AS (SELECT doc_id, string_split_regex(nojs, '${ops.Html.BlockSplit}') AS bl FROM nj),
+       |ex AS (SELECT doc_id, unnest(bl) AS raw_block, CAST(unnest(range(0, len(bl))) AS BIGINT) AS block_idx FROM sp),
+       |tx AS (SELECT doc_id, block_idx, ${htmlVisible("raw_block")} AS text,
+       |  COALESCE(${htmlVisible("array_to_string(regexp_extract_all(raw_block, '(?s)<a[^>]*>(.*?)</a>', 1), ' ')")}, '') AS link_text FROM ex),
+       |blocks AS (SELECT doc_id, block_idx, text, strlen(text) AS text_len, strlen(link_text) AS link_len,
+       |  CAST(floor(strlen(link_text) * 10000.0 / greatest(strlen(text), 1)) AS BIGINT) AS link_density_bp,
+       |  (strlen(text) >= 25 AND floor(strlen(link_text) * 10000.0 / greatest(strlen(text), 1)) <= 3300) AS is_content
+       |  FROM tx)""".stripMargin
+  }
+
   /** CTE prefix `WITH base, segs, surv, ranked, fallback, chunks` — the
     * dialect twin of Chunker.chunk over the corpus raw text.
     */

@@ -185,6 +185,35 @@ object Queries {
     "q42_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.mediaTable(corpus(s, dir)))),
 
+    // ---- HTML boilerplate strip / DOM heuristics (north_rule surface):
+    // deterministic HTML rendering of each doc (Corpus.htmlCol/htmlSql in
+    // lock-step), then strip / block-classify / extract main content ----
+    "q43_html_text" -> ((s, dir) =>
+      docsOf(s, dir).select(col("doc_id").cast("string").as("doc_id"),
+        Html.visibleText(Html.dropInvisible(
+          Corpus.htmlCol(col("doc_id").cast("string"), col("text")))).as("text"))),
+
+    "q44_html_blocks" -> ((s, dir) =>
+      Html.blocks(
+        docsOf(s, dir).select(col("doc_id").cast("string").as("doc_id"), col("text")),
+        Corpus.htmlCol(col("doc_id"), col("text")))),
+
+    "q45_html_main" -> ((s, dir) =>
+      Html.mainContent(
+        docsOf(s, dir).select(col("doc_id").cast("string").as("doc_id"), col("text")),
+        Corpus.htmlCol(col("doc_id"), col("text")))),
+
+    // ---- PDF layout: reading order over a synthetic box table (boxes
+    // derived relationally from lineitem so the oracle needs no hashing) ----
+    "q46_layout_order" -> ((s, dir) =>
+      Layout.readingOrder(
+        s.read.parquet(s"$dir/lineitem.parquet").select(
+          col("l_orderkey").as("doc_id"),
+          (col("l_linenumber") % 3).cast("long").as("page"),
+          col("l_linenumber").cast("long").as("box_id"),
+          (col("l_partkey") % 1000).cast("long").as("x"),
+          (col("l_suppkey") % 1400).cast("long").as("y")))),
+
     // ---- events: windowed ingestion metrics (makes the doctor's events
     // probe load-bearing; streaming twin in streaming/StreamingSpec) ----
     "q39_events_windowed" -> ((s, dir) =>
@@ -603,6 +632,31 @@ object Queries {
          |      t -> CAST(length(t) AS BIGINT) * ascii(substr(t, 1, 1)))),
          |    (s, v) -> (s + v) % 1000000007) AS token_sketch
          |FROM documents""").stripMargin,
+
+    "q43_html_text" ->
+      (s"""WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, ${Corpus.htmlSql("CAST(doc_id AS VARCHAR)", "text")} AS html FROM documents)
+         |SELECT doc_id, ${htmlVisible(htmlDropInvisible("html"))} AS text FROM h""").stripMargin,
+
+    "q44_html_blocks" ->
+      (s"""$HtmlBlocksCte
+         |SELECT doc_id, block_idx, text, text_len, link_len, link_density_bp, is_content FROM blocks""").stripMargin,
+
+    "q45_html_main" ->
+      (s"""$HtmlBlocksCte
+         |SELECT doc_id, string_agg(text, $NN ORDER BY block_idx) AS main_text
+         |FROM blocks WHERE is_content GROUP BY doc_id""").stripMargin,
+
+    "q46_layout_order" ->
+      ("""WITH boxes AS (
+         |  SELECT l_orderkey AS doc_id, CAST(l_linenumber % 3 AS BIGINT) AS page,
+         |         CAST(l_linenumber AS BIGINT) AS box_id,
+         |         CAST(l_partkey % 1000 AS BIGINT) AS x, CAST(l_suppkey % 1400 AS BIGINT) AS y
+         |  FROM lineitem)
+         |SELECT doc_id, page, box_id, x, y,
+         |       CAST(floor(x * 2 / 1000) AS BIGINT) AS col_idx,
+         |       CAST(row_number() OVER (PARTITION BY doc_id, page
+         |         ORDER BY floor(x * 2 / 1000), y, x, box_id) AS BIGINT) AS reading_rank
+         |FROM boxes""").stripMargin,
 
     "q39_events_windowed" ->
       ("""WITH g AS (

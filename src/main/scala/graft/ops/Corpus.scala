@@ -150,6 +150,41 @@ object Corpus {
     ).mkString(" || " + nn + " || ")
   }
 
+  /** Deterministic HTML rendering of a document — nav/footer/script/style
+    * chrome around entity-encoded body paragraphs — for the [[Html]]
+    * boilerplate-strip family. Column and SQL builders in LOCK-STEP (same
+    * discipline as rawTextCol/rawTextSql); the corpus itself carries no
+    * HTML, so this is the synthesized-input surface the north_rule's
+    * "HTML boilerplate strip, DOM heuristics" operators run on.
+    */
+  def htmlCol(id: Column, t: Column): Column = concat(
+    lit("<html><head><title>Doc "), id,
+    lit("</title><style>p { margin: 0; }</style></head><body>" +
+      "<script>var x = 1 < 2;</script>" +
+      "<nav><a href=\"/home\">Home</a> <a href=\"/search\">Search</a> <a href=\"/login\">Log in</a></nav>" +
+      "<div><h1>Document "), id, lit(" &amp; friends</h1></div>" +
+      "<p>"), t,
+    lit("</p><p>"), t,
+    lit(" &quot;tail&quot; paragraph &#39;two&#39;</p>" +
+      "<p>Short note with a link <a href=\"/x\">here</a> plus enough plain text to stay content.</p>" +
+      "<li><a href=\"/a\">Related one</a></li>" +
+      "<footer>&copy; 2026 Example &amp; Co <a href=\"/about\">About</a> <a href=\"/tos\">Terms</a></footer>" +
+      "</body></html>"))
+
+  /** DuckDB twin of [[htmlCol]]; `id` and `t` are SQL expressions. */
+  def htmlSql(id: String, t: String): String =
+    s"'<html><head><title>Doc ' || $id || " +
+      "'</title><style>p { margin: 0; }</style></head><body>" +
+      "<script>var x = 1 < 2;</script>" +
+      "<nav><a href=\"/home\">Home</a> <a href=\"/search\">Search</a> <a href=\"/login\">Log in</a></nav>" +
+      s"<div><h1>Document ' || $id || ' &amp; friends</h1></div>" +
+      s"<p>' || $t || '</p><p>' || $t || " +
+      "' &quot;tail&quot; paragraph &#39;two&#39;</p>" +
+      "<p>Short note with a link <a href=\"/x\">here</a> plus enough plain text to stay content.</p>" +
+      "<li><a href=\"/a\">Related one</a></li>" +
+      "<footer>&copy; 2026 Example &amp; Co <a href=\"/about\">About</a> <a href=\"/tos\">Terms</a></footer>" +
+      "</body></html>'"
+
   /** The interleaved docs table per BASELINE.json input_hint. `replicate`
     * multiplies the corpus with distinct doc_ids (deterministic) so the
     * bench can run at a meaningful scale from small source tables.
