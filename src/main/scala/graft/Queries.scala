@@ -8,10 +8,11 @@ import graft.ops._
 import graft.jobs.ExtractionJob
 
 /** The driver-contract query surface: one entry per implemented operator
-  * from SURVEY.md §2 plus the training-data-pipeline operators. Queries with
-  * a DuckDB twin in [[OracleSql]] appear in `oracle`; stateful/hash-UDF
-  * operators (greedy simhash dedup, minhash, ANN) are rows-only checks and
-  * are fixture-tested against the sequential kernel in ScalaTest instead.
+  * from SURVEY.md §2 (+§2.9 graft-added ops). EVERY query carries a DuckDB
+  * oracle in `oracle` — dialect twins built by [[OracleSql]], with the
+  * hash kernels / greedy windowed scan / minhash / ANN / connected
+  * components recomputed INDEPENDENTLY in SQL by [[OracleHash]] and the
+  * recursive CTEs below (never read back from Spark output).
   */
 object Queries {
 

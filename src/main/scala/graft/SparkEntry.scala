@@ -16,10 +16,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (greedy windowed dedup, minhash/simhash signatures, ANN) — those are
-    * fixture-tested against the sequential kernel in ScalaTest.
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables — EVERY query has one (the hash kernels, greedy
+    * windowed dedup, minhash/ANN and connected components are recomputed
+    * independently in DuckDB SQL by graft.OracleHash / the recursive
+    * CTEs in Queries.oracle, not read back from Spark output).
     */
   def oracleSql: Map[String, String] = Queries.oracle
 }
