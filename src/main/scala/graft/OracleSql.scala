@@ -77,7 +77,7 @@ object OracleSql {
        |  COALESCE(${htmlVisible("array_to_string(regexp_extract_all(raw_block, '(?s)<a[^>]*>(.*?)</a>', 1), ' ')")}, '') AS link_text FROM ex),
        |blocks AS (SELECT doc_id, block_idx, text, strlen(text) AS text_len, strlen(link_text) AS link_len,
        |  CAST(floor(strlen(link_text) * 10000.0 / greatest(strlen(text), 1)) AS BIGINT) AS link_density_bp,
-       |  (strlen(text) >= 25 AND floor(strlen(link_text) * 10000.0 / greatest(strlen(text), 1)) <= 3300) AS is_content
+       |  (strlen(text) >= ${ops.Html.MinContentChars} AND floor(strlen(link_text) * 10000.0 / greatest(strlen(text), 1)) <= ${ops.Html.MaxLinkBp}) AS is_content
        |  FROM tx)""".stripMargin
   }
 

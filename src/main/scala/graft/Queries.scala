@@ -648,15 +648,15 @@ object Queries {
          |FROM blocks WHERE is_content GROUP BY doc_id""").stripMargin,
 
     "q46_layout_order" ->
-      ("""WITH boxes AS (
+      (s"""WITH boxes AS (
          |  SELECT l_orderkey AS doc_id, CAST(l_linenumber % 3 AS BIGINT) AS page,
          |         CAST(l_linenumber AS BIGINT) AS box_id,
          |         CAST(l_partkey % 1000 AS BIGINT) AS x, CAST(l_suppkey % 1400 AS BIGINT) AS y
          |  FROM lineitem)
          |SELECT doc_id, page, box_id, x, y,
-         |       CAST(floor(x * 2 / 1000) AS BIGINT) AS col_idx,
+         |       CAST(floor(x * ${Layout.NCols} / ${Layout.PageWidth}.0) AS BIGINT) AS col_idx,
          |       CAST(row_number() OVER (PARTITION BY doc_id, page
-         |         ORDER BY floor(x * 2 / 1000), y, x, box_id) AS BIGINT) AS reading_rank
+         |         ORDER BY floor(x * ${Layout.NCols} / ${Layout.PageWidth}.0), y, x, box_id) AS BIGINT) AS reading_rank
          |FROM boxes""").stripMargin,
 
     "q39_events_windowed" ->

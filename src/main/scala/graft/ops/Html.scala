@@ -30,6 +30,14 @@ object Html {
   /** Block-level end tags that terminate a text block. */
   val BlockSplit = "</p>|</div>|</nav>|</footer>|</h1>|</li>|</title>"
 
+  /** Content-classification defaults: a block is content iff its visible
+    * text is >= MinContentChars BYTES and anchor text is at most MaxLinkBp
+    * of it. The DuckDB oracle (OracleSql.HtmlBlocksCte) interpolates THESE
+    * constants, so a tuning change can never silently diverge the oracle.
+    */
+  val MinContentChars = 25
+  val MaxLinkBp = 3300L
+
   /** Drop non-visible subtrees wholesale (script/style retain no text). */
   def dropInvisible(html: Column): Column =
     regexp_replace(
@@ -63,7 +71,7 @@ object Html {
     * most `maxLinkBp` of it — the classic density heuristic.
     */
   def blocks(docs: DataFrame, html: Column,
-      minChars: Int = 25, maxLinkBp: Long = 3300L): DataFrame = {
+      minChars: Int = MinContentChars, maxLinkBp: Long = MaxLinkBp): DataFrame = {
     val split_ = split(dropInvisible(html), BlockSplit)
     docs
       .select(col("doc_id"), posexplode(split_).as(Seq("block_idx", "raw_block")))

@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Defaults the q46 oracle interpolates (single source of truth). */
+  val PageWidth = 1000
+  val NCols = 2
+
   /** (doc_id, page, box_id, x, y) -> + (col_idx, reading_rank). `nCols`
     * fixed-width columns over `pageWidth`; rank restarts per (doc, page).
     */
-  def readingOrder(boxes: DataFrame, pageWidth: Int = 1000, nCols: Int = 2): DataFrame = {
+  def readingOrder(boxes: DataFrame, pageWidth: Int = PageWidth, nCols: Int = NCols): DataFrame = {
     val colIdx = floor(col("x") * nCols / pageWidth).cast("long")
     val w = Window.partitionBy(col("doc_id"), col("page"))
       .orderBy(colIdx.asc, col("y").asc, col("x").asc, col("box_id").asc)
