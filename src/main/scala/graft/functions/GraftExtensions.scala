@@ -34,5 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fnv1a64"),
       info("fnv1a64", "fnv1a64(str) - FNV-1a 64-bit hash of the UTF-8 bytes"),
       (exprs: Seq[Expression]) => Fnv1a64Expr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      info("graft_normalize",
+        "graft_normalize(str) - reference N1 normalize (lower, collapse runs, letter/digit filter, trim) in one fused pass"),
+      (exprs: Seq[Expression]) => NormalizeExpr(exprs.head)))
   }
 }

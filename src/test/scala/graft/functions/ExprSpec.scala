@@ -72,11 +72,13 @@ class ExprSpec extends AnyFunSuite {
   test("SQL registration via GraftExtensions") {
     import spark.implicits._
     samples.toDF("s").createOrReplaceTempView("t")
-    val rows = spark.sql("SELECT s, simhash64(s, 5) AS sig, fnv1a64(s) AS h FROM t")
+    val rows = spark.sql(
+        "SELECT s, simhash64(s, 5) AS sig, fnv1a64(s) AS h, graft_normalize(s) AS n FROM t")
       .collect()
     for (r <- rows) {
       assert(r.getLong(1) == Hashing.simhash64(r.getString(0), 5))
       assert(r.getLong(2) == Hashing.fnv1a64(r.getString(0)))
+      assert(r.getString(3) == graft.kernel.TextKernel.normalize(r.getString(0)))
     }
   }
 
