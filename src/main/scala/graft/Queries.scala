@@ -677,7 +677,7 @@ object Queries {
          |  SELECT user_id, event_id, epoch_us(ts) AS t, CAST(floor(value * 100) AS BIGINT) AS cents,
          |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
          |  FROM events),
-         |s AS (SELECT *, CASE WHEN prev IS NULL OR t - prev >= 30*60*1000000 THEN 1 ELSE 0 END AS is_new FROM o),
+         |s AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > 30*60*1000000 THEN 1 ELSE 0 END AS is_new FROM o),
          |c AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s)
          |SELECT user_id, CAST(sid AS BIGINT) AS session_idx, MIN(t) AS start_us, MAX(t) AS end_us,
          |       COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS value_cents

@@ -62,14 +62,15 @@ object Events {
   }
 
   /** Gap-based sessionization, batch form (oracled as q40): a user's
-    * events are split into sessions wherever the inter-event gap reaches
+    * events are split into sessions wherever the inter-event gap EXCEEDS
     * `gapMinutes`; one row per session with start/end, count and the
     * order-independent cents sum. Two stacked window functions + the final
     * aggregate all cluster on user_id, so the whole operator is ONE hash
-    * exchange; the boundary predicate is `gap >= gapMinutes`, which matches
-    * `session_window`'s strict `<`-membership exactly (see
-    * [[sessionWindows]], the streaming twin — StreamingSpec pins the two
-    * to identical sessions).
+    * exchange. Boundary semantics: an event EXACTLY gapMinutes after its
+    * predecessor still merges — `session_window` merges sessions on an
+    * inclusive boundary (verified by an exact-boundary fixture in
+    * EventsSpec; the first cut used `>=` and diverged from the engine), so
+    * the split predicate here is strictly `gap > gapMinutes`.
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
@@ -79,7 +80,7 @@ object Events {
     base
       .withColumn("is_new",
         when(lag(col("t"), 1).over(w).isNull ||
-          col("t") - lag(col("t"), 1).over(w) >= gapUs, 1L).otherwise(0L))
+          col("t") - lag(col("t"), 1).over(w) > gapUs, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("is_new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_idx"))
