@@ -19,7 +19,8 @@ import graft.table.SnapshotTable
   *     [--replicate 1] [--dedupe-method exact|simhash|both] [--simhash-k 5]
   *     [--simhash-threshold 6] [--window 250] [--min-chunk-chars 60]
   *     [--chrome-regex <pattern>] [--markdown-title <t>]
-  *     [--include-chunk-ids] [--emit-chunks-jsonl] [--emit-report]
+  *     [--include-chunk-ids] [--emit-chunks-jsonl | --no-emit-chunks-jsonl]
+  *     [--emit-report]
   *
   * The resumable table materializes the FULL dedup audit frame (kept +
   * dropped rows); every sink (output spans, final markdown, chunks JSONL,
@@ -75,7 +76,11 @@ object SubmitMain {
             graft.kernel.TextKernel.defaultChromePatterns :+ next())
         case "--markdown-title" => cfg = cfg.copy(markdownTitle = next())
         case "--include-chunk-ids" => cfg = cfg.copy(includeChunkIds = true)
+        // boolean pair mirroring the reference's flag.Bool default-true knob
+        // (-emit-chunks-jsonl=false there): default is ON, so the opt-OUT
+        // flag is the one that actually changes behavior
         case "--emit-chunks-jsonl" => cfg = cfg.copy(emitChunksJsonl = true)
+        case "--no-emit-chunks-jsonl" => cfg = cfg.copy(emitChunksJsonl = false)
         case "--emit-report" => a = a.copy(emitReport = true)
         // legacy positional form: <sfDir> <outRoot> [buckets] [maxPerRun] [replicate]
         case v if !v.startsWith("--") =>

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Edge-case fixtures for the events operators: the exact 30-minute gap
-  * boundary (must START a new session — matches session_window's strict
-  * `<` membership), single-event sessions, and the resize keep-branch
+  * boundary (must MERGE — sessions split only when gap > threshold, the
+  * engine's inclusive merge, matching Events.sessionize and the
+  * session_window streaming twin), single-event sessions, and the resize keep-branch
   * (dead on the synthetic corpus whose stub dims are always > 512, so the
   * oracle can never exercise it).
   */

@@ -25,7 +25,8 @@ def main():
             f"{j['docs_per_sec']:.0f} (steal {j.get('total_steal_sec', -1):.0f}s)"
             for j in js)
 
-    md = f"""# BENCH — scaling evidence (round 3; written by tools/write_scaling_md.py)
+    rnd = os.environ.get("GRAFT_ROUND", "4")
+    md = f"""# BENCH — scaling evidence (round {rnd}; written by tools/write_scaling_md.py)
 
 North rule: docs/sec throughput at two cluster sizes (N and 4N executors)
 with scaling efficiency >= 0.8. No real cluster in this sandbox (32 cores),
@@ -48,11 +49,13 @@ honesty.
 **Scaling efficiency (8 -> 32 cores) = (docs/sec@32 / docs/sec@8) / 4 = {eff:.3f}**
 Target: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"}
 
-Cross-round context: best-ever measured legs are local[8] 9,443 docs/s
-(round 1) and local[32] 34,895 docs/s (round 2) — pairing those gives
-(34895/9443)/4 = 0.924, consistent with this round's same-window pair.
-The pipeline code on this path is unchanged since round 2; round-to-round
-throughput deltas track the steal column, not the code.
+Build note (pairing discipline): efficiency is computed ONLY from legs in
+the table above, which all ran on THIS round's build — never by pairing
+legs across rounds, because the pipeline hot path has changed between
+rounds (round 3's commit ca92070 replaced the 4-pass regex normalize with
+the fused NormalizeExpr on the chunker path, so round-3-vs-earlier
+throughput deltas mix a deliberate code speedup with CPU-steal variance).
+Cross-round absolute numbers are context, not evidence.
 
 Input: {j8['sf']} documents corpus (interleaved spans), {j8['pipeline_docs']} docs;
 pipeline = assemble -> chunk -> chrome -> exact+simhash dedup -> output spans
