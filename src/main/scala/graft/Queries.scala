@@ -139,6 +139,14 @@ object Queries {
     "q38_cluster_winners" -> ((s, dir) =>
       LshDedup.clusterWinners(Similarity.simhashDocPairs(docsOf(s, dir), 5, 6))),
 
+    "q47_deduped_corpus" -> ((s, dir) => {
+      val docs = docsOf(s, dir)
+      LshDedup.dedupedDocs(docs,
+        LshDedup.clusterWinners(Similarity.simhashDocPairs(docs, 5, 6)))
+    }),
+
+    "q48_doc_embed" -> ((s, dir) => Embed.docEmbeddingRows(docsOf(s, dir))),
+
     // ---- text analysis ----
     "q28_lang_id" -> ((s, dir) => TextAnalysis.langId(docsOf(s, dir))),
     "q29_quality" -> ((s, dir) => TextAnalysis.quality(docsOf(s, dir))),
@@ -235,6 +243,25 @@ object Queries {
   )
 
   import OracleSql._
+
+  /** Shared CTE prefix for q38/q47: simhash sigs -> banded LSH pairs ->
+    * symmetric edges -> transitive closure `reach` (all (node, reachable)
+    * pairs) by recursive CTE.
+    */
+  private val CcWinnersCtes: String =
+    s"""WITH RECURSIVE d0 AS (SELECT doc_id, ${norm("text")} AS nrm, CAST(doc_id AS VARCHAR) AS rk FROM documents),
+       |${OracleHash.simhashCtes("d0", "nrm", 5, "dsig")},
+       |keyed AS (SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM dsig),
+       |kb AS (SELECT doc_id, sig, band,
+       |       (${toUnsigned("sig")} >> CAST(band * 8 AS INT)) & 255 AS band_key FROM keyed),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kb a JOIN kb b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 6),
+       |edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT x AS doc_id, y AS nb FROM edges
+       |  UNION
+       |  SELECT r.doc_id, e.y AS nb FROM reach r JOIN edges e ON e.x = r.nb)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q01_n1_normalize" ->
@@ -483,20 +510,22 @@ object Queries {
     // self). An oracle that mirrored a fixed hop count would go green on
     // deep chain clusters the operator mislabels; this one cannot.
     "q38_cluster_winners" ->
-      (s"""WITH RECURSIVE d0 AS (SELECT doc_id, ${norm("text")} AS nrm, CAST(doc_id AS VARCHAR) AS rk FROM documents),
-         |${OracleHash.simhashCtes("d0", "nrm", 5, "dsig")},
-         |keyed AS (SELECT doc_id, sig, unnest(range(0, 8)) AS band FROM dsig),
-         |kb AS (SELECT doc_id, sig, band,
-         |       (${toUnsigned("sig")} >> CAST(band * 8 AS INT)) & 255 AS band_key FROM keyed),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM kb a JOIN kb b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.sig, b.sig)) <= 6),
-         |edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT x AS doc_id, y AS nb FROM edges
-         |  UNION
-         |  SELECT r.doc_id, e.y AS nb FROM reach r JOIN edges e ON e.x = r.nb)
-         |SELECT doc_id, least(MIN(nb), doc_id) AS winner FROM reach GROUP BY doc_id""").stripMargin,
+      s"""$CcWinnersCtes
+         |SELECT doc_id, least(MIN(nb), doc_id) AS winner FROM reach GROUP BY doc_id""".stripMargin,
+
+    // deduped corpus: survivors = component winners + cluster-free docs,
+    // n_members = component size (1 for singletons). Winner table comes from
+    // the same transitive-closure CC as q38 — independent of the Spark
+    // label-propagation schedule.
+    "q47_deduped_corpus" ->
+      s"""$CcWinnersCtes,
+         |w AS (SELECT doc_id, least(MIN(nb), doc_id) AS winner FROM reach GROUP BY doc_id),
+         |sz AS (SELECT winner, CAST(COUNT(*) AS BIGINT) AS n_members FROM w GROUP BY winner)
+         |SELECT d.doc_id, d.text, COALESCE(s.n_members, CAST(1 AS BIGINT)) AS n_members
+         |FROM documents d
+         |LEFT JOIN w ON w.doc_id = d.doc_id
+         |LEFT JOIN sz s ON s.winner = d.doc_id
+         |WHERE w.doc_id IS NULL OR w.winner = d.doc_id""".stripMargin,
 
     "q33_media_decode" ->
       (s"""WITH media AS (
@@ -594,6 +623,24 @@ object Queries {
          |SELECT query_id, neighbor_id, cos_bp, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 10""").stripMargin,
+
+    // feature-hashing embedding recomputed independently: FNV per token in
+    // HUGEINT, index/sign from the high bits, integer sums; the dense grid
+    // (documents x range(dim)) restores the zero coordinates the Spark
+    // array always carries
+    "q48_doc_embed" ->
+      (s"""WITH toks AS (SELECT doc_id, unnest(${tokens("lower(text)")}) AS t FROM documents),
+         |h1 AS (SELECT doc_id, CAST(${OracleHash.fnvOf("t")} AS VARCHAR) AS s1 FROM toks),
+         |hh AS (SELECT doc_id, ${OracleHash.fnvOf("s1")} AS h FROM h1),
+         |c AS (SELECT doc_id,
+         |        CAST((CAST(h AS UBIGINT) >> 32) % ${ops.Embed.Dim} AS BIGINT) AS dim_idx,
+         |        CASE WHEN (CAST(h AS UBIGINT) >> 40) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+         |      FROM hh),
+         |s AS (SELECT doc_id, dim_idx, SUM(sgn) AS v FROM c GROUP BY 1, 2),
+         |g AS (SELECT d.doc_id, CAST(r.i AS BIGINT) AS dim_idx
+         |      FROM documents d, range(0, ${ops.Embed.Dim}) r(i))
+         |SELECT g.doc_id, g.dim_idx, CAST(COALESCE(s.v, 0) AS BIGINT) AS val
+         |FROM g LEFT JOIN s ON s.doc_id = g.doc_id AND s.dim_idx = g.dim_idx""").stripMargin,
 
     "q28_lang_id" ->
       (s"""SELECT doc_id,

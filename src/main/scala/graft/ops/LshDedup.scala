@@ -85,6 +85,34 @@ object LshDedup {
     * semantic knob (2^20 hops covers any real corpus); hitting it throws
     * rather than silently returning partial components.
     */
+  /** The deduped corpus — the end product a training-data user actually
+    * wants (doc-level analogue of the reference's kept-chunks surface,
+    * internal/dedupe/dedupe.go:260-311): keep each component's winner doc
+    * (min doc_id) and every doc that belongs to no near-dup cluster at all,
+    * annotated with `n_members` = how many docs the survivor absorbed
+    * (1 for singletons). Closes the loop sigs -> pairs -> components ->
+    * corpus.
+    *
+    * Scale shape: `winners` maps ONLY clustered docs (docs without an edge
+    * never enter [[clusterWinners]]), so both joins below key on doc_id —
+    * a left join to decide survival and a left join against the per-winner
+    * component size aggregate. No payload ever enters the winner/size
+    * exchanges (they carry (doc_id, winner) only); the doc text rides the
+    * docs side of an equi-join, and at web scale the winners side is the
+    * duplicate fraction of the corpus, typically broadcast-able after AQE
+    * measures it.
+    */
+  def dedupedDocs(docs: DataFrame, winners: DataFrame): DataFrame = {
+    val sizes = winners.groupBy(col("winner"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+      .withColumnRenamed("winner", "doc_id")
+    docs.join(winners.select(col("doc_id"), col("winner")), Seq("doc_id"), "left")
+      .filter(col("winner").isNull || col("winner") === col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"))
+  }
+
   def clusterWinners(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val half = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
     val selfLoops = half.select(col("x")).union(pairs.select(col("doc_b").as("x")))

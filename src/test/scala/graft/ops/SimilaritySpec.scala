@@ -45,12 +45,12 @@ class SimilaritySpec extends AnyFunSuite {
     (src.toSeq ++ copies).toDF("vec_id", "embedding")
   }
 
-  private def plantedRecall(topk: DataFrame): Double = {
+  private def plantedRecall(topk: DataFrame, nSources: Long = -1L): Double = {
     // for each original vector, is its planted copy in the top-k list?
     val hits = topk
       .filter(col("query_id") < 1000000L && col("neighbor_id") === col("query_id") + 1000000L)
       .count()
-    val n = planted.count() / 2
+    val n = if (nSources > 0) nSources else planted.count() / 2
     hits.toDouble / n
   }
 
@@ -142,6 +142,89 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got.size == 10 && got.values.forall(_ == "d0"),
       s"all ten chain members should reach d0: $got")
+  }
+
+  test("dedupedDocs: planted near-dup cluster collapses to exactly its min-doc survivor") {
+    import spark.implicits._
+    // docs 10/11/12 share IDENTICAL text (simhash distance 0 -> guaranteed
+    // LSH pairs); 20 and 30 are unrelated singletons. The deduped corpus
+    // must keep exactly {10 (absorbing 3), 20, 30}.
+    val t = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val docs = Seq(
+      (10L, t), (11L, t), (12L, t),
+      (20L, "completely different content about distributed query engines at scale"),
+      (30L, "a third unrelated document concerning maritime navigation techniques")
+    ).toDF("doc_id", "text")
+    val out = LshDedup.dedupedDocs(docs,
+        LshDedup.clusterWinners(Similarity.simhashDocPairs(docs, 5, 6)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(10L -> 3L, 20L -> 1L, 30L -> 1L), out.toString)
+  }
+
+  test("dedupedDocs: winner-map semantics on an explicit fixture") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // component {1,2,3} labeled with winner 1; docs 4,5 never clustered
+    val winners = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "winner")
+    val out = LshDedup.dedupedDocs(docs, winners)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 1L), out.toString)
+  }
+
+  /** Deterministic synthetic corpus for the end-to-end doc->embedding->ANN
+    * path: 50 base docs of 40 disjoint tokens each, plus one perturbed copy
+    * per base (one token swapped -> >= 38/40 token overlap, embedding cosine
+    * ~0.95) with copy doc_id = base + 10^6.
+    */
+  private lazy val embedDocs: DataFrame = {
+    import spark.implicits._
+    val rows = (0 until 50).flatMap { i =>
+      val toks = (0 until 40).map(j => s"w${i}_$j")
+      val base = (i.toLong, toks.mkString(" "))
+      val copy = (i + 1000000L, toks.updated(7, s"x$i").mkString(" "))
+      Seq(base, copy)
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("docEmbeddings: feature-hashing sums are exact integer token contributions") {
+    import spark.implicits._
+    val e = Embed.docEmbeddings(Seq((1L, "alpha alpha beta")).toDF("doc_id", "text"))
+      .select("embedding").as[Seq[Float]].head()
+    assert(e.length == Embed.Dim)
+    def contrib(t: String): (Int, Long) = {
+      val h = Embed.tokenHash(t)
+      (((h >>> 32) % Embed.Dim).toInt, if (((h >>> 40) & 1L) == 1L) 1L else -1L)
+    }
+    val exp = new Array[Long](Embed.Dim)
+    val (ia, sa) = contrib("alpha"); exp(ia) += 2 * sa
+    val (ib, sb) = contrib("beta"); exp(ib) += sb
+    assert(e.map(_.toLong) == exp.toSeq, s"got $e expected ${exp.toSeq}")
+  }
+
+  test("docEmbeddings: trailing-counter token families do not cancel to zero vectors") {
+    import spark.implicits._
+    // regression: with a SINGLE FNV pass, tokens differing only in a
+    // trailing counter ("w0_0 w0_1 ...") collide on index bits 32-35 with
+    // parity-alternating sign bit 40 and the whole vector cancels to zero
+    // (every such doc in the first cut embedded to the null vector, and the
+    // ANN cosine then divided by zero). The double-hash must break this.
+    val e = Embed.docEmbeddings(
+        Seq((1L, (0 until 40).map(j => s"w0_$j").mkString(" "))).toDF("doc_id", "text"))
+      .select("embedding").as[Seq[Float]].head()
+    assert(e.exists(_ != 0f), "token-family embedding cancelled to the zero vector")
+  }
+
+  test("end-to-end from documents: ANN over derived embeddings reunites perturbed copies") {
+    // the full pipeline the reference user wants: documents -> deterministic
+    // embedding stub -> IVF/LSH index, no driver-provided embeddings table
+    val emb = Embed.docEmbeddings(embedDocs)
+      .withColumnRenamed("doc_id", "vec_id")
+    val n = embedDocs.count() / 2
+    val ivf = plantedRecall(Similarity.annIvfTopK(emb, 10), n)
+    assert(ivf >= 0.9, s"IVF planted recall over derived embeddings: $ivf")
+    val lsh = plantedRecall(Similarity.annLshTopK(emb, 10), n)
+    assert(lsh >= 0.8, s"LSH planted recall over derived embeddings: $lsh")
   }
 
   test("clusterWinners: pointer jumping needs far fewer rounds than the diameter") {
