@@ -53,6 +53,55 @@ case class Fnv1a64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Static eval target for the code-point polynomial rolling hash
+  * h := (h*31 + codePoint) mod 1e9+7, decoding UTF-8 in place — matches the
+  * HOF formulation aggregate(transform(split(text, ''), ascii), ...) exactly
+  * (Spark's empty-pattern split yields one element per CODE POINT and ascii
+  * returns the full code point — verified empirically on 2/3/4-byte
+  * sequences), without materializing a single-char string per character
+  * (~16 bytes/char) or running an interpreted lambda per element.
+  */
+object RollingHashEval {
+  def eval(s: UTF8String): Long = {
+    val b = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < b.length) {
+      val b0 = b(i) & 0xFF
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if ((b0 & 0xE0) == 0xC0) {
+        cp = ((b0 & 0x1F) << 6) | (b(i + 1) & 0x3F); i += 2
+      } else if ((b0 & 0xF0) == 0xE0) {
+        cp = ((b0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F); i += 4
+      }
+      h = (h * 31L + cp) % 1000000007L
+    }
+    h
+  }
+}
+
+/** q31's rolling fingerprint as a native codegen expression — the last
+  * interpreted HOF fold on a scan stage (per the round-3 audit); same
+  * static-eval doGenCode pattern as [[Fnv1a64Expr]].
+  */
+case class RollingHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHashEval.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHashEval.eval($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}
+
 /** Static eval target for the float-vector dot product. Left-fold in element
   * order with double accumulation — bit-identical to the
   * zip_with+aggregate formulation AND to DuckDB's list fold, so the oracle

@@ -102,6 +102,15 @@ object Exprs {
       graft.functions.Fnv1a64Expr(
         org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 
+  /** Code-point rolling hash (h*31 + cp mod 1e9+7) — native twin of the
+    * interpreted aggregate(transform(split(text, ''), ascii)) fold
+    * (graft.functions.RollingHashExpr); parity locked by ExprSpec.
+    */
+  def rollingHash(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.RollingHashExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
   /** Byte-exact preview truncation (reference slices Go bytes at 200/500:
     * internal/dedupe/dedupe.go:97-101, internal/text/text.go:187-191).
     * `substring` counts chars, so this must be a UDF.

@@ -75,16 +75,30 @@ object TextAnalysis {
   }
 
   /** Document fingerprinting: order-sensitive polynomial rolling hash over
-    * characters, mod 1e9+7 (fits the fold in exact int64 arithmetic on both
+    * code points, mod 1e9+7 (fits the fold in exact int64 arithmetic on both
     * engines), plus an order-insensitive token-sum sketch.
+    *
+    * The rolling hash is the native codegen RollingHashExpr — the
+    * interpreted HOF fold (kept below as [[rollingHashHof]], the in-engine
+    * spec twin) ran an interpreted lambda per CHARACTER and materialized
+    * every character as a single-char string (~16 bytes each) on a scan
+    * stage. The token sketch's fold is over tokens (1-2 orders of magnitude
+    * fewer elements), dominated by the split itself — left as the HOF.
     */
-  def fingerprints(docs: DataFrame): DataFrame = {
-    val codes = transform(split(col("text"), ""), ch => ascii(ch).cast("long"))
-    val rolling = aggregate(codes, lit(0L),
-      (h, c) => (h * 31L + c) % 1000000007L)
-    val tokenSum = aggregate(
-      transform(tokens(col("text")), t => length(t).cast("long") * ascii(substring(t, 1, 1))),
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      Exprs.rollingHash(col("text")).as("rolling_hash"),
+      tokenSketch(col("text")).as("token_sketch"))
+
+  /** Interpreted spec twin of RollingHashExpr (the pre-round-4 formulation);
+    * must stay row-identical to it — see ExprSpec's parity property.
+    */
+  def rollingHashHof(text: Column): Column =
+    aggregate(transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L), (h, c) => (h * 31L + c) % 1000000007L)
+
+  private def tokenSketch(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => length(t).cast("long") * ascii(substring(t, 1, 1))),
       lit(0L), (s, v) => (s + v) % 1000000007L)
-    docs.select(col("doc_id"), rolling.as("rolling_hash"), tokenSum.as("token_sketch"))
-  }
 }

@@ -42,6 +42,25 @@ object MicroBench {
     println(s"fused  : ${stats(fused.toSeq)}")
     println(s"regex  : ${stats(chain.toSeq)}")
     println(f"speedup (best/best): ${chain.min / fused.min}%.2fx")
+
+    // second A/B: q31's rolling hash — native codegen expression vs the
+    // interpreted per-character HOF fold, same alternating-reps discipline
+    def timeD(c: Column): Double = {
+      val t0 = System.nanoTime()
+      chunks.select(sum(c)).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeD(Exprs.rollingHash(col("text")))
+    timeD(graft.ops.TextAnalysis.rollingHashHof(col("text")))
+    val native = collection.mutable.ArrayBuffer.empty[Double]
+    val hof = collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to reps) {
+      native += timeD(Exprs.rollingHash(col("text")))
+      hof += timeD(graft.ops.TextAnalysis.rollingHashHof(col("text")))
+    }
+    println(s"rollN  : ${stats(native.toSeq)}")
+    println(s"rollHOF: ${stats(hof.toSeq)}")
+    println(f"rolling speedup (best/best): ${hof.min / native.min}%.2fx")
     spark.stop()
   }
 }

@@ -69,6 +69,25 @@ class ExprSpec extends AnyFunSuite {
     assert(corpus == 0L, "fused normalize must equal the regex chain corpus-wide")
   }
 
+  test("RollingHashExpr == interpreted HOF fold (code points, incl. astral plane)") {
+    import spark.implicits._
+    // the HOF folds ascii() over split(text, '') — one element per CODE
+    // POINT, ascii returning the full code point (probed empirically on
+    // 2/3/4-byte UTF-8). The native UTF-8 decode must agree everywhere:
+    // ASCII, Latin-1 2-byte, CJK 3-byte, emoji 4-byte, empty, ws-only.
+    val fixtures = Seq(
+      "", " ", "abc", "aéß中😀b", "café ÜBER naïve", "७ ٣ ½ ⅔ Ⅸ",
+      "𝔘nicode astral 😀 emoji", "\n\t\r mixed ws 　", "İstanbul ıı") ++
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("text").as[String].take(50)
+    val rows = fixtures.toDF("s")
+      .select(Exprs.rollingHash(col("s")).as("native"),
+        graft.ops.TextAnalysis.rollingHashHof(col("s")).as("hof"))
+      .collect()
+    for (r <- rows)
+      assert(r.getLong(0) == r.getLong(1), s"native=${r.getLong(0)} hof=${r.getLong(1)}")
+  }
+
   test("SQL registration via GraftExtensions") {
     import spark.implicits._
     samples.toDF("s").createOrReplaceTempView("t")
