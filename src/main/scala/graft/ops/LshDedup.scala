@@ -55,36 +55,6 @@ object LshDedup {
     assembled.select(col("doc_id"),
       Exprs.simhash64(Exprs.normCol(col("raw")), k).as("sig"))
 
-  /** Winner selection: TRUE connected components — map every doc in a
-    * near-dup cluster to the minimum doc_id in its component.
-    *
-    * Algorithm: iterated min-label propagation with POINTER JUMPING, run to
-    * a verified fixpoint. Each round does
-    *   (1) edge step:  winner'(x) = min over neighbors y of winner(y)
-    *   (2) jump step:  winner''(x) = winner'(winner'(x))   (path halving)
-    * so label information travels ~2^r hops after r rounds (the jump step
-    * is what makes a 10^12-doc chain-shaped cluster converge in O(log
-    * diameter) rounds instead of O(diameter)); convergence is DETECTED (a
-    * round that changes zero labels), not assumed from a fixed iteration
-    * count — the fixed-diameter version mislabeled any cluster deeper than
-    * its iteration budget (chains of drifting boilerplate are exactly that
-    * shape at web scale).
-    *
-    * Correctness argument: the edge set carries SELF-LOOPS, so each round's
-    * min includes the node's own previous label — labels are monotone
-    * non-increasing and bounded below by the component min, hence a
-    * fixpoint always exists and is always reached. At any fixpoint,
-    * L(x) <= L(y) across every edge and (by symmetry) L(y) <= L(x), so L
-    * is constant per component; labels only ever hold ids of component
-    * members, so that constant is the component min. "No change" therefore
-    * certifies the exact answer, not just a stall.
-    *
-    * Plan shape per round: two joins + one agg over PERSISTED edges, with
-    * `localCheckpoint` truncating the growing lineage, plus one count
-    * action for the convergence check. maxRounds is a runaway bound, not a
-    * semantic knob (2^20 hops covers any real corpus); hitting it throws
-    * rather than silently returning partial components.
-    */
   /** The deduped corpus — the end product a training-data user actually
     * wants (doc-level analogue of the reference's kept-chunks surface,
     * internal/dedupe/dedupe.go:260-311): keep each component's winner doc
@@ -113,7 +83,54 @@ object LshDedup {
         coalesce(col("n_members"), lit(1L)).as("n_members"))
   }
 
-  def clusterWinners(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  /** Winner selection: TRUE connected components — map every doc in a
+    * near-dup cluster to the minimum doc_id in its component.
+    *
+    * Algorithm: iterated min-label propagation with POINTER JUMPING, run to
+    * a verified fixpoint. Each round does
+    *   (1) edge step:  winner'(x) = min over neighbors y of winner(y)
+    *   (2) jump step:  winner''(x) = winner'(winner'(x))   (path halving)
+    * so label information travels ~2^r hops after r rounds (the jump step
+    * is what makes a 10^12-doc chain-shaped cluster converge in O(log
+    * diameter) rounds instead of O(diameter)); convergence is DETECTED (a
+    * round that changes zero labels), not assumed from a fixed iteration
+    * count — the fixed-diameter version mislabeled any cluster deeper than
+    * its iteration budget (chains of drifting boilerplate are exactly that
+    * shape at web scale).
+    *
+    * Correctness argument: the edge set carries SELF-LOOPS, so each round's
+    * min includes the node's own previous label — labels are monotone
+    * non-increasing and bounded below by the component min, hence a
+    * fixpoint always exists and is always reached. At any fixpoint,
+    * L(x) <= L(y) across every edge and (by symmetry) L(y) <= L(x), so L
+    * is constant per component; labels only ever hold ids of component
+    * members, so that constant is the component min. "No change" therefore
+    * certifies the exact answer, not just a stall.
+    *
+    * Plan shape per round: two joins + one agg over PERSISTED edges, with
+    * checkpoints truncating the growing lineage, plus one count
+    * action for the convergence check. maxRounds is a runaway bound, not a
+    * semantic knob (2^20 hops covers any real corpus); hitting it throws
+    * rather than silently returning partial components.
+    *
+    * Durability: by default lineage is truncated with `localCheckpoint`,
+    * whose blocks live on EXECUTORS — cheap and right for local mode, but
+    * an executor lost mid-iteration takes blocks with it whose lineage no
+    * longer exists, killing the whole job. Passing `checkpointDir` switches
+    * every truncation to a RELIABLE `Dataset.checkpoint()` into that
+    * directory (HDFS/S3-backed on a real cluster): an executor loss then
+    * costs a recompute from the last durable snapshot instead of the job.
+    * On a 1000-executor preemptible fleet running tens of rounds, the
+    * reliable path is the one to run.
+    */
+  def clusterWinners(pairs: DataFrame, maxRounds: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach { d =>
+      val sc = pairs.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val half = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
     val selfLoops = half.select(col("x")).union(pairs.select(col("doc_b").as("x")))
       .distinct().withColumn("y", col("x"))
@@ -121,9 +138,8 @@ object LshDedup {
       .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
       .union(selfLoops)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("x").as("doc_id"))
-      .agg(least(min(col("y")), first(col("x"))).as("winner"))
-      .localCheckpoint()
+    var labels = ckpt(edges.groupBy(col("x").as("doc_id"))
+      .agg(least(min(col("y")), first(col("x"))).as("winner")))
     var round = 0
     var converged = false
     while (!converged) {
@@ -132,20 +148,18 @@ object LshDedup {
         s"clusterWinners did not converge within $maxRounds rounds (component diameter > 2^$maxRounds?)")
       // (1) pull the minimum label across each doc's neighborhood
       //     (checkpointed so the self-join below reads it once, not twice)
-      val es = edges
+      val es = ckpt(edges
         .join(labels.withColumnRenamed("doc_id", "y"), Seq("y"))
         .groupBy(col("x").as("doc_id"))
         .agg(min(col("winner")).as("winner"))
-        .withColumn("winner", least(col("winner"), col("doc_id")))
-        .localCheckpoint()
+        .withColumn("winner", least(col("winner"), col("doc_id"))))
       // (2) pointer jump: follow the winner's own label one more step —
       //     winner values are doc_ids that appear as label keys, so a
       //     self-join compresses paths (label distance doubles per round)
       val jump = es.select(col("doc_id").as("w"), col("winner").as("ww"))
-      val next = es.join(jump, es("winner") === jump("w"), "left")
+      val next = ckpt(es.join(jump, es("winner") === jump("w"), "left")
         .select(es("doc_id").as("doc_id"),
-          least(coalesce(col("ww"), es("winner")), es("winner")).as("winner"))
-        .localCheckpoint()
+          least(coalesce(col("ww"), es("winner")), es("winner")).as("winner")))
       val changed = next
         .join(labels.withColumnRenamed("winner", "prev"), Seq("doc_id"))
         .filter(col("winner") =!= col("prev")).count()

@@ -227,6 +227,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh >= 0.8, s"LSH planted recall over derived embeddings: $lsh")
   }
 
+  test("clusterWinners: reliable-checkpoint path computes identical components") {
+    import spark.implicits._
+    // same fixture as the basic CC test, run through Dataset.checkpoint()
+    // into a directory (the executor-loss-durable path a real cluster uses)
+    // instead of localCheckpoint — results must be identical and the
+    // checkpoint dir must actually be written
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("doc_a", "doc_b")
+    val got = LshDedup.clusterWinners(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"), got.toString)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, s"no reliable checkpoint files written under $dir")
+  }
+
   test("clusterWinners: pointer jumping needs far fewer rounds than the diameter") {
     import spark.implicits._
     // chain of 33 (diameter 32): plain min-propagation would need 32 rounds;
