@@ -43,6 +43,128 @@ class HtmlLayoutSpec extends AnyFunSuite {
     assert(!main.contains("About Terms"), "footer stripped from main content")
   }
 
+  /** Adversarial fixtures: places where the REGEX pipeline deliberately
+    * diverges from (or happens to agree with) a real DOM parser. Each
+    * behavior below is pinned on purpose — if a refactor changes one, that
+    * is a semantic change to q43-q45 and must be a conscious decision, not
+    * an accident. Probed empirically before pinning.
+    */
+  test("html adversarial: nested anchors — link text ends at the FIRST </a>") {
+    import spark.implicits._
+    val html = "<p>see <a href=\"/x\">outer <a>inner</a> tail</a> end</p>"
+    val r = Seq(("d", html)).toDF("id", "html")
+      .select(Html.visibleText(Html.dropInvisible(col("html"))).as("vis"),
+        Html.visibleText(Html.anchorText(col("html"))).as("atext"))
+      .head()
+    // non-greedy (?s)<a...>(.*?)</a> captures up to the first close: the
+    // nested open tag is inside the capture (stripped by visibleText),
+    // "tail" is OUTSIDE the link text — a DOM parser would auto-close the
+    // inner anchor and attribute "tail" differently. Deliberate divergence.
+    assert(r.getString(0) == "see outer inner tail end")
+    assert(r.getString(1) == "outer inner")
+  }
+
+  test("html adversarial: unclosed tag swallows text up to the next '>'") {
+    import spark.implicits._
+    val html = "<p>text with <b unclosed and more words</p>"
+    val vis = Seq(("d", html)).toDF("id", "html")
+      .select(Html.visibleText(Html.dropInvisible(col("html"))).as("vis")).head().getString(0)
+    // <[^>]*> eats from the dangling '<b' through the '>' of the NEXT tag —
+    // same error recovery an HTML5 tokenizer applies (everything until '>'
+    // is tag soup), so the words after the dangling '<' are gone
+    assert(vis == "text with", s"got '$vis'")
+  }
+
+  test("html adversarial: attribute containing '>' leaks the tag remainder as text") {
+    import spark.implicits._
+    val html = "<p><a href=\"a>b\" class=\"c\">link text</a> rest</p>"
+    val r = Seq(("d", html)).toDF("id", "html")
+      .select(Html.visibleText(Html.dropInvisible(col("html"))).as("vis"),
+        Html.visibleText(Html.anchorText(col("html"))).as("atext"))
+      .head()
+    // the tag match stops at the first '>' — INSIDE the quoted attribute —
+    // so 'b" class="c">' leaks into both visible and anchor text. A DOM
+    // parser keeps the '>' in the attribute value. This is the documented
+    // price of the regex pipeline (spec-valid HTML escapes '>' in
+    // attributes as &gt;; the corpus renderer always does).
+    assert(r.getString(0) == "b\" class=\"c\">link text rest", s"got '${r.getString(0)}'")
+    assert(r.getString(1) == "b\" class=\"c\">link text", s"got '${r.getString(1)}'")
+  }
+
+  test("html adversarial: entity decode does not cascade and is case-sensitive") {
+    import spark.implicits._
+    val html = "<p>&amp;lt; literal &amp;amp; &foo; &NBSP; x</p>"
+    val vis = Seq(("d", html)).toDF("id", "html")
+      .select(Html.visibleText(Html.dropInvisible(col("html"))).as("vis")).head().getString(0)
+    // &amp; decoded LAST: double-encoded sequences come out single-decoded
+    // ("&lt;" as TEXT, not "<"); unknown (&foo;) and wrong-case (&NBSP;)
+    // entities pass through verbatim
+    assert(vis == "&lt; literal &amp; &foo; &NBSP; x", s"got '$vis'")
+  }
+
+  test("html adversarial: unclosed <script> leaks its text (documented divergence)") {
+    import spark.implicits._
+    val html = "<p>keep</p><script>var x = 1; no close tag"
+    val vis = Seq(("d", html)).toDF("id", "html")
+      .select(Html.visibleText(Html.dropInvisible(col("html"))).as("vis")).head().getString(0)
+    // dropInvisible requires a closing </script>; with none, the regex does
+    // not match and the script BODY surfaces as text. A DOM parser would
+    // keep it invisible (script-data state to EOF). This fixture survives
+    // deliberately: handling it would need a second truncate-at-EOF pass
+    // per invisible tag for a malformation the corpus renderer never emits
+    // — pinned so the divergence is a choice, not a surprise.
+    assert(vis == "keep var x = 1; no close tag", s"got '$vis'")
+  }
+
+  test("html property: generated well-formed docs — no tag residue, classification arithmetic, main == content blocks") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val word = Gen.oneOf("alpha", "bravo", "charlie", "delta", "café",
+      "über", "x1", "2026", "Tom &amp; Co", "a&nbsp;b")
+    val para = for {
+      n <- Gen.choose(1, 12); ws <- Gen.listOfN(n, word)
+    } yield s"<p>${ws.mkString(" ")}</p>"
+    val navItem = word.map(w => s"<a href=\"/$w\">$w</a>")
+    val nav = for {
+      n <- Gen.choose(1, 4); items <- Gen.listOfN(n, navItem)
+    } yield s"<nav>${items.mkString(" ")}</nav>"
+    val li = word.map(w => s"<li><a href=\"#\">$w</a> $w note</li>")
+    val block = Gen.frequency(5 -> para, 2 -> nav, 2 -> li,
+      1 -> Gen.const("<script>var hidden = 1;</script><p>after script</p>"))
+    val doc = for {
+      n <- Gen.choose(2, 8); bs <- Gen.listOfN(n, block)
+    } yield bs.mkString("\n")
+    val docs = (1 to 40).map(i => (i.toString, sample(doc, 1000 + i)))
+      .toDF("doc_id", "html")
+    val blocks = Html.blocks(docs, col("html")).collect()
+    for (r <- blocks) {
+      val text = r.getAs[String]("text")
+      // well-formed input -> zero tag residue in visible text (the corpus
+      // renderer escapes '<'/'>' as entities we do not decode to brackets)
+      assert(!text.contains("<") && !text.contains(">"), s"tag residue in '$text'")
+      // classification is EXACTLY the published arithmetic over the
+      // published constants — no hidden tuning
+      val tl = r.getAs[Long]("text_len"); val ll = r.getAs[Long]("link_len")
+      assert(tl == text.getBytes("UTF-8").length.toLong)
+      val bp = math.floor(ll * 10000.0 / math.max(tl, 1L)).toLong
+      assert(r.getAs[Long]("link_density_bp") == bp)
+      assert(r.getAs[Boolean]("is_content") ==
+        (tl >= Html.MinContentChars && bp <= Html.MaxLinkBp))
+    }
+    // mainContent == the content blocks joined in block order, per doc
+    val expected = blocks.filter(_.getAs[Boolean]("is_content"))
+      .groupBy(_.getAs[String]("doc_id"))
+      .map { case (d, rs) =>
+        d -> rs.sortBy(_.getAs[Long]("block_idx")).map(_.getAs[String]("text")).mkString("\n\n")
+      }
+    val got = Html.mainContent(docs, col("html"))
+      .collect().map(r => r.getAs[String]("doc_id") -> r.getAs[String]("main_text")).toMap
+    assert(got == expected, "mainContent must equal ordered concat of content blocks")
+  }
+
   test("layout reading order: 2-column page read column-major, top to bottom") {
     import spark.implicits._
     // page 0: two boxes in the left column (y 300, 100), two in the right
