@@ -33,9 +33,10 @@ import graft.table.SnapshotTable
 object SubmitMain {
 
   /** Cap for the driver-side single-file artifact writers (writeArtifacts):
-    * above this many docs the artifact tree is skipped with a notice — the
-    * reference contract targets single-document runs, and a per-doc file
-    * loop must never become the bottleneck of a corpus-scale job.
+    * above this many docs the per-doc markdown tree switches to the
+    * DISTRIBUTED partitionBy(doc_id) sink — the reference contract targets
+    * single-document runs, and a driver-side per-doc file loop must never
+    * become the bottleneck of a corpus-scale job.
     */
   val ArtifactDocLimit = 100000L
 
@@ -153,7 +154,8 @@ object SubmitMain {
     * small-corpus contract; the scale sinks are the parquet/json directory
     * writers in [[writeSinks]].
     */
-  def writeArtifacts(args: Args)(implicit spark: SparkSession): Unit = {
+  def writeArtifacts(args: Args, docLimit: Long = ArtifactDocLimit)(
+      implicit spark: SparkSession): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
@@ -172,13 +174,25 @@ object SubmitMain {
 
     // result.md (reference result.md, main.go:276; WriteMarkdown text.go:249-279)
     val nDocs = table.select("doc_id").distinct().count()
-    if (nDocs > ArtifactDocLimit) {
-      // the single-FILE contract is a small-corpus fidelity feature; at
-      // corpus scale a driver-side per-doc file loop is the wrong tool —
-      // the distributed sinks above carry the same content
-      println(s"[graft] skipping artifacts: $nDocs docs > $ArtifactDocLimit " +
-        "(single-file artifact tree is the small-corpus contract; " +
-        "use the parquet/json directory sinks at this scale)")
+    if (nDocs > docLimit) {
+      // the single-FILE tree is the small-corpus contract; above the cap
+      // the per-doc .md surface is written DISTRIBUTED instead of skipped:
+      // partitionBy(doc_id) fans the same markdown out as
+      // result_md_dist/doc_id=<id>/part-*.txt, executor-parallel, no
+      // driver-side per-doc loop. Byte parity with the driver tree: the
+      // markdown always ends in exactly one '\n' (Render.markdown finalize
+      // contract) which the text sink re-appends per row, so the value is
+      // written with its trailing newline stripped. Locked by
+      // SubmitMainSpec's parity test.
+      println(s"[graft] $nDocs docs > $docLimit: writing the per-doc tree " +
+        "distributed (artifacts/result_md_dist, partitioned by doc_id); " +
+        "chunks JSONL + report remain in the parquet/json directory sinks")
+      Render.markdown(kept.withColumn("idx", col("kept_order")),
+          lit(cfg.markdownTitle), includeChunkIds = cfg.includeChunkIds)
+        .select(col("doc_id"),
+          regexp_replace(col("markdown"), "\\n$", "").as("value"))
+        .write.mode(SaveMode.Overwrite).partitionBy("doc_id")
+        .text(dir.resolve("result_md_dist").toString)
       return
     }
     val md = Render.markdown(kept.withColumn("idx", col("kept_order")),

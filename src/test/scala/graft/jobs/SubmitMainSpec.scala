@@ -87,6 +87,36 @@ class SubmitMainSpec extends AnyFunSuite {
     assert(rep.contains(s""""kept_chunks": $kept"""))
   }
 
+  test("distributed per-doc tree is byte-identical to the driver-loop tree (2-doc corpus)") {
+    import spark.implicits._
+    val sfDir = Files.createTempDirectory("sf2doc").toString
+    Seq(
+      ("3", "First document body with a paragraph long enough to survive the chunker."),
+      ("9", "Second document body, also comfortably beyond the minimum chunk length."))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    val out = Files.createTempDirectory("subout2").toString
+    val args = SubmitMain.Args(sfDir = sfDir, out = out, buckets = 2)
+    SnapshotTable.runResumable(Corpus.docsTable(spark, sfDir),
+      d => ExtractionJob.dedupWith(d, args.pipeline), out, args.buckets)
+
+    // small-corpus contract: driver loop writes result_md/<doc_id>.md
+    SubmitMain.writeArtifacts(args)
+    // scale contract: docLimit forced below nDocs -> distributed partitionBy
+    SubmitMain.writeArtifacts(args, docLimit = 1L)
+
+    for (docId <- Seq("3", "9")) {
+      val driver = Files.readString(Paths.get(out, "artifacts", "result_md", s"$docId.md"))
+      val partDir = Paths.get(out, "artifacts", "result_md_dist", s"doc_id=$docId")
+      val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          Files.list(partDir).iterator()).asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      assert(parts.size == 1, s"expected one text part for doc $docId, got $parts")
+      val dist = Files.readString(parts.head)
+      assert(dist == driver, s"doc $docId: distributed tree diverges from driver tree")
+    }
+  }
+
   private implicit class JavaListOps[A](l: java.util.List[A]) {
     def asScala: Seq[A] = scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
   }
