@@ -57,19 +57,30 @@ object Similarity {
     * doc-frequency cap on shingles before the join — here df <= `maxDf`.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, thresholdBp: Long, maxDf: Int = 1000): DataFrame = {
+    // no pre-explode emptiness filter: explode() already drops empty
+    // arrays, and a filter on size(sh) gets pushed into the parquet scan
+    // CONDITION where it re-evaluates the shingle UDF per row (seen in the
+    // round-3 formatted plan)
     val sets = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .withColumn("set_size", size(col("sh")).cast("long"))
-      .filter(col("set_size") > 0)
-    val exploded = sets.select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
-    // df cap as a HASH AGGREGATE + join on the same key (map-side partial
-    // agg, no per-shingle sort) — the former count().over(partitionBy
-    // shingle) window shuffled the same rows but added a full sort per
-    // shingle; the join's exchange on `shingle` is the one the a×b
-    // self-join below reuses anyway
-    val dfCounts = exploded.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
+    // ONE explicit exchange on `shingle`, then the df cap as a WINDOW count
+    // over it. The round-2/3 agg+join formulation looked cheaper on paper
+    // (hash agg, no sort), but the optimizer duplicated the
+    // scan->UDF->explode subtree FOUR times (each self-join side times
+    // [explode, df-agg]) and the shingle UDF — the dominant cost — ran 4x+
+    // per doc; q23 was the one query over its historical best in round 3
+    // for exactly this reason. The window keeps df-count + cap in the SAME
+    // traversal, so the pre-join pipeline is one subtree shared across both
+    // self-join sides via exchange reuse: measured on sf0.1, UDF
+    // invocations dropped 2.3x and wall time 2.29s -> 1.35s (best-of-3,
+    // same session, same JVM). The per-shingle sort the window adds is
+    // df-bounded and is the price of single evaluation.
+    val exploded = sets
+      .select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
+      .repartition(col("shingle"))
+    val capped = exploded
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxDf)
-    val capped = exploded.join(dfCounts, Seq("shingle"))
     val a = capped.select(col("shingle"), col("doc_id").as("doc_a"), col("set_size").as("size_a"))
     val b = capped.select(col("shingle"), col("doc_id").as("doc_b"), col("set_size").as("size_b"))
     a.join(b, Seq("shingle"))
