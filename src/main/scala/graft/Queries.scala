@@ -130,6 +130,9 @@ object Queries {
     "q25_embed_cos_pairs" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(embOf(s, dir), 2500L)),
 
+    "q49_embed_pairs_lsh" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairsLsh(embOf(s, dir), 2500L)),
+
     "q26_ann_topk" -> ((s, dir) => Similarity.annBruteForceTopK(embOf(s, dir), 10)),
 
     "q27_ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(embOf(s, dir), 10)),
@@ -486,6 +489,34 @@ object Queries {
          |SELECT query_id, neighbor_id, cos_bp, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_bp DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 10""").stripMargin,
+
+    // bucketed embedding near-dup pairs: same hyperplane/bucket/probe CTEs
+    // as q27, ending in threshold-filtered distinct pairs instead of top-k
+    "q49_embed_pairs_lsh" ->
+      (s"""WITH hp AS (
+         |  SELECT bb.b AS bit, dd.d AS dim,
+         |         CASE WHEN (CAST(${OracleHash.fnvOf("bb.b || ':' || dd.d || ':hp'")} AS UBIGINT) >> 32) % 2 = 0
+         |              THEN -1.0 ELSE 1.0 END AS sgn
+         |  FROM range(0, 12) bb(b),
+         |       (SELECT unnest(range(0, len(embedding))) AS d
+         |        FROM (SELECT embedding FROM embeddings LIMIT 1)) dd(d)),
+         |hpr AS (SELECT bit, list(sgn ORDER BY dim) AS w FROM hp GROUP BY bit),
+         |sb AS (SELECT v.vec_id, h.bit,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(v.embedding, h.w), p -> CAST(p[1] AS DOUBLE) * p[2])),
+         |      (s, x) -> s + x) AS s
+         |  FROM embeddings v, hpr h),
+         |bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN (1 << bit) ELSE 0 END) AS INT) AS bucket
+         |  FROM sb GROUP BY vec_id),
+         |prb AS (SELECT vec_id AS id_a, bucket FROM bkt
+         |  UNION ALL
+         |  SELECT b.vec_id, CAST(xor(CAST(b.bucket AS BIGINT), 1 << r.i) AS INT) FROM bkt b, range(0, 12) r(i)),
+         |cand AS (SELECT DISTINCT p.id_a, n.vec_id AS id_b
+         |  FROM prb p JOIN bkt n ON p.bucket = n.bucket AND p.id_a < n.vec_id),
+         |scored AS (SELECT c.id_a, c.id_b, ${cosBp("a.embedding", "b.embedding")} AS cos_bp
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+         |              JOIN embeddings b ON b.vec_id = c.id_b)
+         |SELECT id_a, id_b, cos_bp FROM scored WHERE cos_bp >= 2500""").stripMargin,
 
     "q37_ann_ivf_topk" ->
       (s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_e FROM embeddings ORDER BY vec_id LIMIT 32),

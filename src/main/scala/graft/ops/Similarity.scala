@@ -308,6 +308,40 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding near-dup PAIRS at scale — the bucketed complement of the
+    * declared-cartesian [[embeddingNearDupPairs]] baseline, so
+    * dedup-by-embedding (pairs -> clusterWinners -> dedupedDocs) has a
+    * 100-TB path: hyperplane sign buckets + single-bit probes (same
+    * deterministic hyperplanes as [[annLshTopK]]), exact cosine inside the
+    * bucket, threshold filter, distinct (id_a < id_b) pairs. Recall: a
+    * pair surfaces iff their buckets differ in <= 1 bit; near-duplicates
+    * (cos -> 1) flip any given hyperplane with probability
+    * arccos(cos)/pi -> 0, so expected flipped bits stay < 1 for the
+    * near-dup band this exists for; raise probing (or lower bits) for
+    * looser thresholds. Scale knob `bits` grows with log2(n) exactly as in
+    * [[annLshTopK]].
+    */
+  def embeddingNearDupPairsLsh(emb: DataFrame, thresholdBp: Long,
+      bits: Int = HyperplaneBits, probe: Boolean = true): DataFrame = {
+    val sigs = emb.select(col("vec_id"), col("embedding"),
+      signBitsU(bits)(col("embedding")).as("bucket"),
+      norm2(col("embedding")).as("nrm"))
+    val probeArr =
+      if (probe) array((col("bucket") +: (0 until bits).map(i =>
+        col("bucket").bitwiseXOR(lit(1 << i)))): _*)
+      else array(col("bucket"))
+    val a = sigs.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      col("nrm").as("n_a"), explode(probeArr).as("bucket"))
+    val b = sigs.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      col("nrm").as("n_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_bp",
+        floor(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")) * 10000))
+      .filter(col("cos_bp") >= thresholdBp)
+      .select("id_a", "id_b", "cos_bp").distinct()
+  }
+
   /** IVF-style ANN (the second scale path, complementing [[annLshTopK]]):
     * coarse quantizer = the `kCells` vectors with smallest vec_id used as
     * cell centroids (deterministic sampled init, no Lloyd refinement — so

@@ -227,6 +227,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh >= 0.8, s"LSH planted recall over derived embeddings: $lsh")
   }
 
+  test("end-to-end embedding dedup: documents -> embed -> LSH pairs -> CC -> deduped corpus") {
+    import spark.implicits._
+    // the complete dedup-by-embedding pipeline on the scale path (bucketed
+    // pair generation, never cartesian): planted perturbed copies must be
+    // absorbed by their base doc with ZERO false merges. bits=6 sizes the
+    // bucket table for the 100-vector fixture (bits grows with log2(n)).
+    val emb = Embed.docEmbeddings(embedDocs).withColumnRenamed("doc_id", "vec_id")
+    val pairs = Similarity.embeddingNearDupPairsLsh(emb, 8500L, bits = 6)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // no false positives: every surfaced pair is a planted (base, copy) pair
+    val bad = pairs.filter(col("doc_b") =!= col("doc_a") + 1000000L).count()
+    assert(bad == 0L, s"$bad cross-document pairs above cos 0.85 — false merges")
+    val out = LshDedup.dedupedDocs(
+        embedDocs, LshDedup.clusterWinners(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // per base doc: either its copy was absorbed (base survives with
+    // n_members=2, copy gone) or the pair was missed (both survive alone)
+    var absorbed = 0
+    for (i <- 0L until 50L) {
+      if (out.get(i).contains(2L)) {
+        assert(!out.contains(i + 1000000L), s"copy of $i survived although absorbed")
+        absorbed += 1
+      } else {
+        assert(out.get(i).contains(1L) && out.get(i + 1000000L).contains(1L),
+          s"unexpected survivor shape for base $i: ${out.get(i)}/${out.get(i + 1000000L)}")
+      }
+    }
+    assert(absorbed >= 45, s"only $absorbed/50 planted copies collapsed into their base")
+  }
+
   test("clusterWinners: reliable-checkpoint path computes identical components") {
     import spark.implicits._
     // same fixture as the basic CC test, run through Dataset.checkpoint()
