@@ -21,6 +21,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def load_driver(path):
     d = json.load(open(path))
+    if isinstance(d.get("queries"), dict):  # raw Bench line (sweep files)
+        return d
     p = d.get("parsed")
     if isinstance(p, dict) and p.get("queries"):
         return p
@@ -36,7 +38,11 @@ def load_driver(path):
 
 def main():
     hist = {}
-    for f in ("BENCH_r01.json", "BENCH_r02.json"):
+    import glob as _glob
+    hist_files = ["BENCH_r01.json", "BENCH_r02.json", "BENCH_r03.json"] + \
+        sorted(os.path.relpath(p, ROOT)
+               for p in _glob.glob(os.path.join(ROOT, "BENCH", "sweep_r3_*.json")))
+    for f in hist_files:
         p = os.path.join(ROOT, f)
         if not os.path.exists(p):
             continue
