@@ -124,6 +124,16 @@ object OracleSql {
   def tokens(x: String): String =
     raw"list_filter(string_split_regex($x, '[\t\n\f\r ]+'), t -> t <> '')"
 
+  /** ASCII-only lowercase — dialect twin of the Scala-UDF hash paths'
+    * explicit A-Z map. Engine lower()s disagree across engines on some
+    * Unicode uppercase (Java full-maps U+0130 'İ' to "i" + combining dot,
+    * utf8proc simple-maps it), which would silently flip FNV-derived
+    * hashes; the hash-BEARING paths (shingles, feature-hash embeddings)
+    * therefore lower only A-Z on both engines.
+    */
+  def asciiLower(x: String): String =
+    s"translate($x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+
   def stopHits(toksExpr: String, words: Seq[String]): String =
     s"len(list_filter($toksExpr, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
@@ -183,8 +193,8 @@ ${OracleHash.greedyCtes("g_sigs", threshold, window, "g_v")}"""
   def shingleSets(n: Int): String =
     s"""sets AS (
   SELECT doc_id,
-         list_distinct(list_transform(range(1, greatest(len(${tokens("lower(text)")}) - ${n - 1}, 0) + 1),
-           i -> array_to_string(list_slice(${tokens("lower(text)")}, i, i + ${n - 1}), ' '))) AS sh
+         list_distinct(list_transform(range(1, greatest(len(${tokens(asciiLower("text"))}) - ${n - 1}, 0) + 1),
+           i -> array_to_string(list_slice(${tokens(asciiLower("text"))}, i, i + ${n - 1}), ' '))) AS sh
   FROM documents
 ), sized AS (
   SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS set_size FROM sets WHERE len(sh) > 0

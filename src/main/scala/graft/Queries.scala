@@ -65,8 +65,9 @@ object Queries {
     "q11_o1_natural_rank" -> ((s, dir) => {
       val names = s.read.parquet(s"$dir/part.parquet")
         .select(concat(lit("IMG_"), col("p_partkey").cast("string"), lit(".png")).as("name"))
-      names.withColumn("rank",
-        row_number().over(Window.orderBy(Exprs.naturalKey(col("name")))).cast("long"))
+      // distributed global rank (range buckets + per-bucket offsets) — the
+      // former Window.orderBy-with-no-partitionBy was a single-task sort
+      Ranks.globalRank(names, Exprs.naturalKey(col("name")))
     }),
 
     "q12_h4_hamming" -> ((s, dir) =>
@@ -130,12 +131,17 @@ object Queries {
     "q25_embed_cos_pairs" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(embOf(s, dir), 2500L)),
 
+    // q49/q27 pin bits = HyperplaneBits: the DuckDB oracle SQL interpolates
+    // that constant, so the oracle path must not float with autoBits (at the
+    // test SFs autoBits returns the same 12 — the pin is oracle hygiene)
     "q49_embed_pairs_lsh" -> ((s, dir) =>
-      Similarity.embeddingNearDupPairsLsh(embOf(s, dir), 2500L)),
+      Similarity.embeddingNearDupPairsLsh(embOf(s, dir), 2500L,
+        bits = Similarity.HyperplaneBits)),
 
     "q26_ann_topk" -> ((s, dir) => Similarity.annBruteForceTopK(embOf(s, dir), 10)),
 
-    "q27_ann_lsh_topk" -> ((s, dir) => Similarity.annLshTopK(embOf(s, dir), 10)),
+    "q27_ann_lsh_topk" -> ((s, dir) =>
+      Similarity.annLshTopK(embOf(s, dir), 10, bits = Similarity.HyperplaneBits)),
 
     "q37_ann_ivf_topk" -> ((s, dir) => Similarity.annIvfTopK(embOf(s, dir), 10)),
 
@@ -571,8 +577,8 @@ object Queries {
          |       WHEN 'jpg' THEN 'jpeg' WHEN 'jpeg' THEN 'jpeg'
          |       ELSE regexp_extract(media_ref, '([^.]*)$$', 1) END AS format,
          |  CAST(strlen(payload) AS BIGINT) AS n_bytes,
-         |  CAST(640 + ((CAST(${OracleHash.toSigned("h")} AS HUGEINT) % 1280 + 1280) % 1280) AS BIGINT) AS width,
-         |  CAST(480 + (CAST(h AS UBIGINT) >> 17) % 720 AS BIGINT) AS height,
+         |  CAST(256 + ((CAST(${OracleHash.toSigned("h")} AS HUGEINT) % 1280 + 1280) % 1280) AS BIGINT) AS width,
+         |  CAST(256 + (CAST(h AS UBIGINT) >> 17) % 720 AS BIGINT) AS height,
          |  CAST(5000 + (CAST(h AS UBIGINT) >> 32) % 5000 AS BIGINT) AS ocr_conf_bp
          |FROM hh""").stripMargin,
 
@@ -585,8 +591,8 @@ object Queries {
          |pay AS (SELECT doc_id, media_ref, 'IMGDATA:' || media_ref || ':' || repeat('x', 64) AS payload FROM media),
          |hh AS (SELECT doc_id, media_ref, ${OracleHash.fnvOf("payload")} AS h FROM pay),
          |dims AS (SELECT doc_id, media_ref,
-         |  CAST(640 + ((CAST(${OracleHash.toSigned("h")} AS HUGEINT) % 1280 + 1280) % 1280) AS BIGINT) AS width,
-         |  CAST(480 + (CAST(h AS UBIGINT) >> 17) % 720 AS BIGINT) AS height
+         |  CAST(256 + ((CAST(${OracleHash.toSigned("h")} AS HUGEINT) % 1280 + 1280) % 1280) AS BIGINT) AS width,
+         |  CAST(256 + (CAST(h AS UBIGINT) >> 17) % 720 AS BIGINT) AS height
          |  FROM hh)
          |SELECT doc_id, media_ref, width, height,
          |  CASE WHEN greatest(width, height) <= 512 THEN width
@@ -619,8 +625,8 @@ object Queries {
     "q23_ngram_jaccard_pairs" ->
       (s"""WITH sets AS (
          |  SELECT doc_id,
-         |         list_distinct(list_transform(range(1, greatest(len(${tokens("lower(text)")}) - 2, 0) + 1),
-         |           i -> array_to_string(list_slice(${tokens("lower(text)")}, i, i + 2), ' '))) AS sh
+         |         list_distinct(list_transform(range(1, greatest(len(${tokens(asciiLower("text"))}) - 2, 0) + 1),
+         |           i -> array_to_string(list_slice(${tokens(asciiLower("text"))}, i, i + 2), ' '))) AS sh
          |  FROM documents
          |), sized AS (
          |  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS set_size FROM sets WHERE len(sh) > 0
@@ -660,7 +666,7 @@ object Queries {
     // (documents x range(dim)) restores the zero coordinates the Spark
     // array always carries
     "q48_doc_embed" ->
-      (s"""WITH toks AS (SELECT doc_id, unnest(${tokens("lower(text)")}) AS t FROM documents),
+      (s"""WITH toks AS (SELECT doc_id, unnest(${tokens(asciiLower("text"))}) AS t FROM documents),
          |h1 AS (SELECT doc_id, CAST(${OracleHash.fnvOf("t")} AS VARCHAR) AS s1 FROM toks),
          |hh AS (SELECT doc_id, ${OracleHash.fnvOf("s1")} AS h FROM h1),
          |c AS (SELECT doc_id,

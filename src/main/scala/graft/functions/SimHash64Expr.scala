@@ -64,19 +64,27 @@ case class Fnv1a64Expr(child: Expression) extends UnaryExpression {
 object RollingHashEval {
   def eval(s: UTF8String): Long = {
     val b = s.getBytes
+    val n = b.length
     var h = 0L
     var i = 0
-    while (i < b.length) {
+    while (i < n) {
       val b0 = b(i) & 0xFF
       var cp = 0
+      // malformed UTF-8 (possible when binary data is read as string) must
+      // DEGRADE, not crash: a lead byte whose continuation bytes run past
+      // the buffer, a stray continuation byte, or an invalid 0xF8+ lead is
+      // consumed as a single unit — mirroring how the interpreted
+      // split+ascii twin degrades — instead of indexing out of bounds
       if (b0 < 0x80) { cp = b0; i += 1 }
-      else if ((b0 & 0xE0) == 0xC0) {
+      else if ((b0 & 0xE0) == 0xC0 && i + 1 < n) {
         cp = ((b0 & 0x1F) << 6) | (b(i + 1) & 0x3F); i += 2
-      } else if ((b0 & 0xF0) == 0xE0) {
+      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n) {
         cp = ((b0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F); i += 3
-      } else {
+      } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n) {
         cp = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
           ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F); i += 4
+      } else {
+        cp = b0; i += 1 // invalid or truncated sequence: one unit, move on
       }
       h = (h * 31L + cp) % 1000000007L
     }

@@ -189,8 +189,11 @@ object SubmitMain {
         "chunks JSONL + report remain in the parquet/json directory sinks")
       Render.markdown(kept.withColumn("idx", col("kept_order")),
           lit(cfg.markdownTitle), includeChunkIds = cfg.includeChunkIds)
+        // \z (end of INPUT) not $ (which also matches before a final line
+        // terminator, so a value ending "\n\n" would lose two chars) — byte
+        // parity must not depend on Render.markdown's single-\n contract
         .select(col("doc_id"),
-          regexp_replace(col("markdown"), "\\n$", "").as("value"))
+          regexp_replace(col("markdown"), "\\n\\z", "").as("value"))
         .write.mode(SaveMode.Overwrite).partitionBy("doc_id")
         .text(dir.resolve("result_md_dist").toString)
       return

@@ -17,7 +17,7 @@ import graft.kernel.Hashing
   * Swapping in a real encoder changes ONLY this projection; every consumer
   * (ANN indexes, cosine dedup) reads the same (id, Array[Float]) shape.
   *
-  * Construction: for each whitespace token of lower(text),
+  * Construction: for each whitespace token of asciiLower(text),
   * h = fnv1a64(unsignedDecimalString(fnv1a64(token))) — DOUBLE-hashed,
   * because a single FNV-1a pass does not avalanche trailing-byte deltas
   * into the mid/high bits (the sparse prime moves a last-byte delta only
@@ -44,13 +44,21 @@ object Embed {
   def tokenHash(t: String): Long =
     Hashing.fnv1a64(java.lang.Long.toUnsignedString(Hashing.fnv1a64(t)))
 
+  /** Null text embeds to the ZERO vector, which is exactly what the
+    * oracle's dense grid produces for a token-less doc (no NPE, no
+    * null-row/zero-row shape divergence); lowering is ASCII-only
+    * ([[Similarity.asciiLower]]) so the token bytes entering FNV are
+    * identical cross-engine even on İ/ß-class input.
+    */
   private def embedU(dim: Int) = udf { (text: String) =>
     val acc = new Array[Long](dim)
-    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[\t\n\f\r ]+")
-    for (t <- toks if t.nonEmpty) {
-      val h = tokenHash(t)
-      val idx = ((h >>> 32) % dim).toInt
-      acc(idx) += (if (((h >>> 40) & 1L) == 1L) 1L else -1L)
+    if (text != null) {
+      val toks = Similarity.asciiLower(text).split("[\t\n\f\r ]+")
+      for (t <- toks if t.nonEmpty) {
+        val h = tokenHash(t)
+        val idx = ((h >>> 32) % dim).toInt
+        acc(idx) += (if (((h >>> 40) & 1L) == 1L) 1L else -1L)
+      }
     }
     acc.map(_.toFloat).toSeq
   }

@@ -111,18 +111,25 @@ object Events {
         col("n_events"), col("value_cents"))
   }
 
-  /** The streaming-safe windowed aggregate (no lag window, no exact
+  /** The streaming-safe windowed aggregate (no lag window, no EXACT
     * distinct — neither is expressible incrementally): tumbling 1-hour
-    * `window()` + optional event-time watermark. The SAME function serves
-    * batch frames (watermark is a no-op there), which is what
-    * StreamingSpec pins: streamed-with-watermark == batch, window by
-    * window.
+    * `window()` + optional event-time watermark. User counts ARE on the
+    * stream, as `n_users_approx` = HyperLogLog++ `approx_count_distinct`
+    * (its sketch merges incrementally across micro-batches, which is
+    * exactly why exact countDistinct can't ride along) — the batch q39
+    * surface keeps the EXACT `n_users`, and the two may diverge by the
+    * HLL++ relative error (~2% at the default precision); a consumer
+    * needing exactness reconciles against the batch table. The SAME
+    * function serves batch frames (watermark is a no-op there), which is
+    * what StreamingSpec pins: streamed-with-watermark == batch, window by
+    * window, including the sketch column.
     */
   def windowedCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {
     val src = watermark.fold(events.withColumn("ts", ts))(d => events.withColumn("ts", ts).withWatermark("ts", d))
     src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(cents).as("value_cents"))
+      .agg(count(lit(1)).as("n_events"), sum(cents).as("value_cents"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"))
       .select(unix_timestamp(col("w.start")).as("hour_ts"), col("event_type"),
-        col("n_events"), col("value_cents"))
+        col("n_events"), col("value_cents"), col("n_users_approx"))
   }
 }

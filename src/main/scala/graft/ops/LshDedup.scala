@@ -83,90 +83,139 @@ object LshDedup {
         coalesce(col("n_members"), lit(1L)).as("n_members"))
   }
 
+  /** One round of [[clusterWinners]] as observed by the caller: how many
+    * labels changed and how many (edge, changed-source) message rows the
+    * round actually processed — the frontier shrinking round over round is
+    * the scale story, so it is measured, not asserted.
+    */
+  final case class CcRoundStat(round: Int, changed: Long, processedEdges: Long)
+
   /** Winner selection: TRUE connected components — map every doc in a
     * near-dup cluster to the minimum doc_id in its component.
     *
-    * Algorithm: iterated min-label propagation with POINTER JUMPING, run to
-    * a verified fixpoint. Each round does
-    *   (1) edge step:  winner'(x) = min over neighbors y of winner(y)
-    *   (2) jump step:  winner''(x) = winner'(winner'(x))   (path halving)
-    * so label information travels ~2^r hops after r rounds (the jump step
-    * is what makes a 10^12-doc chain-shaped cluster converge in O(log
-    * diameter) rounds instead of O(diameter)); convergence is DETECTED (a
-    * round that changes zero labels), not assumed from a fixed iteration
-    * count — the fixed-diameter version mislabeled any cluster deeper than
-    * its iteration budget (chains of drifting boilerplate are exactly that
-    * shape at web scale).
+    * Algorithm: FRONTIER-PRUNED min-label propagation with pointer jumping,
+    * run to a verified fixpoint. Each round does
+    *   (1) edge step:  msg(x)  = min over edges (y -> x) with y in DELTA
+    *                   (only labels that CHANGED last round send messages);
+    *                   w1(x) = least(prev(x), msg(x))
+    *   (2) jump step:  for rows whose label changed this round OR whose
+    *                   current pointer target changed this round,
+    *                   winner(x) = least(w1(x), w1(w1(x)))  (path halving)
+    * so label information still travels ~2^r hops after r rounds, but a
+    * round's join cost is proportional to the FRONTIER (edges incident to
+    * last round's changes), not to the full edge set: at web scale most
+    * components are stars that converge in round 1, while a few deep chains
+    * drive 20+ rounds — without the frontier every such round re-joined all
+    * 10^12 edges for a vanishing number of live labels. The full edge set
+    * is touched only as the persisted build-side scan of the delta join
+    * (pre-partitioned on the message key `y`, so only the small delta side
+    * ever shuffles); per-round processed-edge counts land in `stats`.
     *
-    * Correctness argument: the edge set carries SELF-LOOPS, so each round's
-    * min includes the node's own previous label — labels are monotone
-    * non-increasing and bounded below by the component min, hence a
-    * fixpoint always exists and is always reached. At any fixpoint,
-    * L(x) <= L(y) across every edge and (by symmetry) L(y) <= L(x), so L
-    * is constant per component; labels only ever hold ids of component
-    * members, so that constant is the component min. "No change" therefore
-    * certifies the exact answer, not just a stall.
-    *
-    * Plan shape per round: two joins + one agg over PERSISTED edges, with
-    * checkpoints truncating the growing lineage, plus one count
-    * action for the convergence check. maxRounds is a runaway bound, not a
-    * semantic knob (2^20 hops covers any real corpus); hitting it throws
-    * rather than silently returning partial components.
+    * Correctness argument (delta completeness): labels are monotone
+    * non-increasing and every value a node ever takes is broadcast to its
+    * neighbors exactly once (the round after it changes). A node's label is
+    * therefore always least(own history, min over neighbors of ALL values
+    * they ever held) = least(own, min of neighbors' CURRENT labels), i.e.
+    * each pruned round is equivalent to a full edge step. Convergence is
+    * DETECTED (a round that changes zero labels — so the previous round's
+    * messages were all absorbed and no new ones exist), never assumed from
+    * an iteration count: at that fixpoint L(x) <= L(y) across every edge
+    * and by symmetry L(y) <= L(x), so L is constant per component, and
+    * since labels only ever hold member ids that constant is the component
+    * min. The jump step is pure acceleration — it reads only actual label
+    * values of members, preserving both invariants. maxRounds is a runaway
+    * bound, not a semantic knob; hitting it throws rather than silently
+    * returning partial components.
     *
     * Durability: by default lineage is truncated with `localCheckpoint`,
     * whose blocks live on EXECUTORS — cheap and right for local mode, but
     * an executor lost mid-iteration takes blocks with it whose lineage no
-    * longer exists, killing the whole job. Passing `checkpointDir` switches
-    * every truncation to a RELIABLE `Dataset.checkpoint()` into that
-    * directory (HDFS/S3-backed on a real cluster): an executor loss then
-    * costs a recompute from the last durable snapshot instead of the job.
-    * On a 1000-executor preemptible fleet running tens of rounds, the
-    * reliable path is the one to run.
+    * longer exists, killing the whole job. Passing `checkpointDir` makes
+    * each round durable as `<dir>/labels_r<N>` parquet (HDFS/S3-backed on a
+    * real cluster): an executor loss costs a recompute from the last
+    * durable round instead of the job. Round N's file is deleted as soon as
+    * round N+1 is committed, so the directory holds at most two rounds; the
+    * final round's file backs the RETURNED DataFrame and stays for the
+    * caller to clean up with the job output. The SparkContext-global
+    * checkpoint dir is never touched (the previous Dataset.checkpoint()
+    * implementation silently re-pointed it on every call, clobbering any
+    * application-configured dir — and leaked every round's files).
     */
   def clusterWinners(pairs: DataFrame, maxRounds: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach { d =>
-      val sc = pairs.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+      checkpointDir: Option[String] = None,
+      stats: Option[scala.collection.mutable.Buffer[CcRoundStat]] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    def ckpt(df: DataFrame, round: Int): DataFrame = checkpointDir match {
+      case Some(d) =>
+        val path = s"$d/labels_r$round"
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        val back = spark.read.parquet(path)
+        if (round >= 2) deleteRecursive(new java.io.File(s"$d/labels_r${round - 2}"))
+        back
+      case None => df.localCheckpoint()
     }
-    def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val half = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
-    val selfLoops = half.select(col("x")).union(pairs.select(col("doc_b").as("x")))
-      .distinct().withColumn("y", col("x"))
-    val edges = half
+    // symmetric edge list, pre-partitioned on the message key: every round
+    // joins edges with the delta on y, and the persisted hash partitioning
+    // means only the (shrinking) delta side is ever exchanged
+    val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
       .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
-      .union(selfLoops)
+      .repartition(col("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = ckpt(edges.groupBy(col("x").as("doc_id"))
-      .agg(least(min(col("y")), first(col("x"))).as("winner")))
+    // round 0 = one full edge step: least(self, min neighbor)
+    var full = ckpt(
+      edges.groupBy(col("x").as("doc_id"))
+        .agg(least(min(col("y")), first(col("x"))).as("winner"))
+        .withColumn("prev", lit(null).cast(pairs.schema("doc_a").dataType))
+        .withColumn("n_msgs", lit(0L)),
+      0)
+    var delta = full.select(col("doc_id"), col("winner")) // everyone "changed"
     var round = 0
     var converged = false
     while (!converged) {
       round += 1
       require(round <= maxRounds,
         s"clusterWinners did not converge within $maxRounds rounds (component diameter > 2^$maxRounds?)")
-      // (1) pull the minimum label across each doc's neighborhood
-      //     (checkpointed so the self-join below reads it once, not twice)
-      val es = ckpt(edges
-        .join(labels.withColumnRenamed("doc_id", "y"), Seq("y"))
+      val labels = full.select(col("doc_id"), col("winner").as("prev"))
+      // (1) messages from last round's changed labels only, along edges
+      val msgs = edges
+        .join(delta.withColumnRenamed("doc_id", "y"), Seq("y"))
         .groupBy(col("x").as("doc_id"))
-        .agg(min(col("winner")).as("winner"))
-        .withColumn("winner", least(col("winner"), col("doc_id"))))
-      // (2) pointer jump: follow the winner's own label one more step —
-      //     winner values are doc_ids that appear as label keys, so a
-      //     self-join compresses paths (label distance doubles per round)
-      val jump = es.select(col("doc_id").as("w"), col("winner").as("ww"))
-      val next = ckpt(es.join(jump, es("winner") === jump("w"), "left")
-        .select(es("doc_id").as("doc_id"),
-          least(coalesce(col("ww"), es("winner")), es("winner")).as("winner")))
-      val changed = next
-        .join(labels.withColumnRenamed("winner", "prev"), Seq("doc_id"))
-        .filter(col("winner") =!= col("prev")).count()
-      labels = next
+        .agg(min(col("winner")).as("msg"), count(lit(1)).as("n_msgs"))
+      val upd = labels.join(msgs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("msg"), col("prev"))).as("w1"),
+          coalesce(col("n_msgs"), lit(0L)).as("n_msgs"))
+      // (2) pointer jump for the live set: rows that changed this round,
+      //     plus rows whose pointer TARGET changed this round (their
+      //     w1(w1(x)) just dropped) — staleness never accumulates, and the
+      //     jump joins are keyed with the small live side driving them
+      val changedRows = upd.filter(col("w1") =!= col("prev"))
+      val stale = upd.join(changedRows.select(col("doc_id").as("tgt")),
+        upd("w1") === col("tgt"), "leftsemi")
+      val live = changedRows.unionByName(stale).dropDuplicates("doc_id")
+      val lookup = upd.select(col("doc_id").as("j"), col("w1").as("jw"))
+      val jumped = live.join(lookup, live("w1") === lookup("j"), "left")
+        .select(live("doc_id").as("doc_id"),
+          least(live("w1"), coalesce(col("jw"), live("w1"))).as("jumpw"))
+      val next = ckpt(
+        upd.join(jumped, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("jumpw"), col("w1")).as("winner"),
+            col("prev"), col("n_msgs")),
+        round)
+      val changed = next.filter(col("winner") =!= col("prev")).count()
+      val processed = next.agg(coalesce(sum(col("n_msgs")), lit(0L))).head.getLong(0)
+      stats.foreach(_ += CcRoundStat(round, changed, processed))
+      delta = next.filter(col("winner") =!= col("prev")).select(col("doc_id"), col("winner"))
+      full = next
       converged = changed == 0L
     }
     edges.unpersist(blocking = false)
-    labels
+    full.select(col("doc_id"), col("winner"))
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
+    f.delete(): Unit
   }
 }

@@ -46,8 +46,13 @@ object Multimodal {
       case other => other
     }
     val h = graft.kernel.Hashing.fnv1a64(payload)
-    val width = 640L + (Math.floorMod(h, 1280L))
-    val height = 480L + (Math.floorMod(h >>> 17, 720L))
+    // dim bases straddle the default resize maxDim=512 (widths 256..1535,
+    // heights 256..975), so ~7% of stub media take resizeBatch's keep
+    // branch — the oracle then exercises BOTH `when` arms (the former
+    // 640/480 bases made every dim > 512 and the keep branch dead on the
+    // whole synthetic corpus)
+    val width = 256L + (Math.floorMod(h, 1280L))
+    val height = 256L + (Math.floorMod(h >>> 17, 720L))
     val conf = 5000L + Math.floorMod(h >>> 32, 5000L)
     (fmt, payload.length.toLong, width, height, conf)
   }

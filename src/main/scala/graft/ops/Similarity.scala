@@ -30,19 +30,42 @@ object Similarity {
 
   // ---------- word-shingle machinery ----------
 
+  /** ASCII-only lowercase for the hash-bearing UDF paths (shingles,
+    * feature-hash embeddings): Java's toLowerCase and DuckDB's lower()
+    * disagree on some Unicode uppercase (U+0130 'İ' full-maps to "i" +
+    * combining dot in Java, simple-maps in utf8proc), which would silently
+    * flip every downstream FNV hash cross-engine. Lowering only A-Z —
+    * mirrored by OracleSql.asciiLower — makes the folding identical by
+    * construction; non-ASCII case folding is out of scope on both sides.
+    */
+  private[ops] def asciiLower(s: String): String = {
+    val a = s.toCharArray
+    var i = 0
+    while (i < a.length) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
   /** Distinct `n`-word shingles per doc. A compiled UDF: the higher-order-
     * function formulation (transform over sequence + slice + concat_ws) is
     * interpreted per element and dominated the sf0.1 bench; it also had a
     * latent bug — Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
     * empty array, fabricating shingles for sub-n-token docs. Token rule and
-    * output match the DuckDB oracle exactly (ASCII-ws split, drop empties,
-    * n-token windows joined by ' ', distinct).
+    * output match the DuckDB oracle exactly (ASCII lowering via
+    * [[asciiLower]], ASCII-ws split, drop empties, n-token windows joined
+    * by ' ', distinct). Null text degrades to the empty set like the
+    * engine-native paths, instead of NPEing the task.
     */
   private val shinglesU = udf { (text: String, n: Int) =>
-    val toks = text.toLowerCase(java.util.Locale.ROOT)
-      .split("[\t\n\f\r ]+").filter(_.nonEmpty)
-    if (toks.length < n) Array.empty[String]
-    else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+    if (text == null) Array.empty[String]
+    else {
+      val toks = asciiLower(text).split("[\t\n\f\r ]+").filter(_.nonEmpty)
+      if (toks.length < n) Array.empty[String]
+      else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+    }
   }
 
   def shingles(text: Column, n: Int): Column = shinglesU(text, lit(n))
@@ -228,6 +251,19 @@ object Similarity {
 
   val HyperplaneBits = 12
 
+  /** Self-tending scale knob for the hyperplane LSH family: expected bucket
+    * population is n / 2^bits, so bits must GROW with log2(n) to keep the
+    * bucket self-join bounded. Default bits = ceil(log2(n / targetBucket)),
+    * floored at [[HyperplaneBits]] (the constant that sized the test
+    * corpus); 10^9 vectors at the default 64/bucket gives bits = 24.
+    * Recall lost to more bits is bought back by the 1-bit probing.
+    */
+  def autoBits(n: Long, targetBucket: Long = 64L): Int = {
+    val m = math.max(1L, (n + targetBucket - 1L) / targetBucket)
+    val ceilLog2 = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.max(HyperplaneBits, ceilLog2)
+  }
+
   /** Deterministic pseudo-random hyperplane component w[bit][dim] in {-1,+1},
     * derived from FNV of (bit, dim) — seedless, identical on every executor.
     *
@@ -276,20 +312,23 @@ object Similarity {
     *
     * Scale knob: `bits`. Expected bucket population is n / 2^bits and join
     * fan-out is sum over buckets of |bucket|^2, so `bits` must GROW with
-    * log2(n) to keep buckets bounded (e.g. 10^9 vectors at ~1k/bucket needs
-    * bits ~ 20); recall lost to more bits is bought back by probing. The
-    * default 12 is sized for the test corpus, not for 100TB — callers at
-    * scale pass bits explicitly (and AQE skew-join splits any hot bucket).
+    * log2(n) to keep buckets bounded; recall lost to more bits is bought
+    * back by probing. Default (bits = 0) is SELF-TENDING: [[autoBits]] of
+    * the corpus count — one metadata-cheap count() action against the
+    * input; callers that already know n (or whose emb is an expensive
+    * unmaterialized plan) pass bits explicitly to skip it. AQE skew-join
+    * splits any residual hot bucket.
     */
-  def annLshTopK(emb: DataFrame, k: Int, bits: Int = HyperplaneBits,
+  def annLshTopK(emb: DataFrame, k: Int, bits: Int = 0,
       probe: Boolean = true): DataFrame = {
+    val nbits = if (bits > 0) bits else autoBits(emb.count())
     val sigs = emb.select(col("vec_id"), col("embedding"),
-      signBitsU(bits)(col("embedding")).as("bucket"),
+      signBitsU(nbits)(col("embedding")).as("bucket"),
       norm2(col("embedding")).as("nrm"))
     // single-bit-flip probe buckets, built driver-side (NOT sequence():
     // sequence(0,-1) is a descending [0,-1], not empty)
     val probeArr =
-      if (probe) array((col("bucket") +: (0 until bits).map(i =>
+      if (probe) array((col("bucket") +: (0 until nbits).map(i =>
         col("bucket").bitwiseXOR(lit(1 << i)))): _*)
       else array(col("bucket"))
     val probes = sigs.select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
@@ -318,16 +357,17 @@ object Similarity {
     * (cos -> 1) flip any given hyperplane with probability
     * arccos(cos)/pi -> 0, so expected flipped bits stay < 1 for the
     * near-dup band this exists for; raise probing (or lower bits) for
-    * looser thresholds. Scale knob `bits` grows with log2(n) exactly as in
-    * [[annLshTopK]].
+    * looser thresholds. Scale knob `bits` self-tends exactly as in
+    * [[annLshTopK]]: 0 (the default) = [[autoBits]] of the corpus count.
     */
   def embeddingNearDupPairsLsh(emb: DataFrame, thresholdBp: Long,
-      bits: Int = HyperplaneBits, probe: Boolean = true): DataFrame = {
+      bits: Int = 0, probe: Boolean = true): DataFrame = {
+    val nbits = if (bits > 0) bits else autoBits(emb.count())
     val sigs = emb.select(col("vec_id"), col("embedding"),
-      signBitsU(bits)(col("embedding")).as("bucket"),
+      signBitsU(nbits)(col("embedding")).as("bucket"),
       norm2(col("embedding")).as("nrm"))
     val probeArr =
-      if (probe) array((col("bucket") +: (0 until bits).map(i =>
+      if (probe) array((col("bucket") +: (0 until nbits).map(i =>
         col("bucket").bitwiseXOR(lit(1 << i)))): _*)
       else array(col("bucket"))
     val a = sigs.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),

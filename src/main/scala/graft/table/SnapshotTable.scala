@@ -18,7 +18,10 @@ import scala.jdk.CollectionConverters._
   * a killed run resumes from the last committed manifest — completed
   * buckets are never recomputed; each manifest records its parent, the
   * cumulative completed-bucket set, and per-bucket lineage (input docs,
-  * output rows, wall ms).
+  * output rows, wall ms, and the DATA FILES the bucket committed).
+  * [[read]] consumes only manifest-listed files, the real Iceberg reader
+  * contract — uncommitted/stray files in a committed bucket dir are
+  * invisible on read-back, not silently mixed in.
   *
   * Scale notes: buckets are hash partitions of doc_id (`pmod(xxhash64)`),
   * which salts document PLACEMENT uniformly — the defense against
@@ -86,14 +89,17 @@ object SnapshotTable {
   }
 
   private def commitSnapshot(root: String, completed: Set[Int],
-      lineage: Seq[BucketLineage], schemaMd5: String): Int = {
+      lineage: Seq[BucketLineage], schemaMd5: String,
+      bucketFiles: Map[Int, Seq[String]]): Int = {
     val dir = snapshotsDir(root)
     Files.createDirectories(dir)
     val parent = currentSnapshotId(root)
     val id = parent + 1
-    val lineageJson = lineage.map(l =>
-      s"""{"bucket":${l.bucket},"n_docs":${l.n_docs},"n_rows":${l.n_rows},"wall_ms":${l.wall_ms}}""")
-      .mkString("[", ",", "]")
+    val lineageJson = lineage.map { l =>
+      val files = bucketFiles.getOrElse(l.bucket, Seq.empty)
+        .map(f => s""""$f"""").mkString(",")
+      s"""{"bucket":${l.bucket},"n_docs":${l.n_docs},"n_rows":${l.n_rows},"wall_ms":${l.wall_ms},"files":[$files]}"""
+    }.mkString("[", ",", "]")
     val json =
       s"""{"snapshot_id":$id,"parent_id":$parent,""" +
         s""""timestamp":"${java.time.Instant.now()}",""" +
@@ -183,7 +189,26 @@ object SnapshotTable {
       val (rows, docsN) = counts.getOrElse(b, (0L, 0L))
       BucketLineage(b, docsN, rows, nanos.getOrElse(b, 0L) / 1000000L, id)
     }
-    commitSnapshot(root, done ++ missing, lineage, schemaMd5)
+    // file-level lineage: record exactly the data files this run produced
+    // per bucket, so readers see only manifest-listed files (Iceberg's
+    // contract) — a stray/partial file later dropped into a committed
+    // bucket dir is invisible on read-back
+    val bucketFiles = missing.map { b =>
+      val d = Paths.get(root, "data", s"bucket=$b")
+      val fs =
+        if (!Files.exists(d)) Seq.empty[String]
+        else {
+          val stream = Files.list(d)
+          try stream.iterator().asScala
+            .filter(Files.isRegularFile(_))
+            .map(_.getFileName.toString)
+            .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+            .toSeq.sorted
+          finally stream.close()
+        }
+      b -> fs
+    }.toMap
+    commitSnapshot(root, done ++ missing, lineage, schemaMd5, bucketFiles)
 
     import spark.implicits._
     lineage.toDF().write.mode(SaveMode.Append).parquet(s"$root/_metrics")
@@ -233,9 +258,37 @@ object SnapshotTable {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
-  /** Read the materialized table back (all committed buckets). */
-  def read(root: String)(implicit spark: SparkSession): DataFrame =
-    spark.read.parquet(s"$root/data")
+  /** All data files recorded by the manifest chain, as paths relative to
+    * `<root>/data`. Walks current -> parent (ids are sequential by
+    * construction); buckets commit exactly once, so entries never collide.
+    */
+  private[table] def manifestFiles(root: String): Seq[String] = {
+    val dir = snapshotsDir(root)
+    if (!Files.exists(dir.resolve("current"))) return Seq.empty
+    val entry = """"bucket":(\d+)[^}]*?"files":\[([^\]]*)\]""".r
+    (1 to currentSnapshotId(root)).flatMap { id =>
+      val json = Files.readString(dir.resolve(s"v$id.json"))
+      entry.findAllMatchIn(json).flatMap { m =>
+        val bucket = m.group(1)
+        m.group(2).split(",").iterator
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)
+          .map(f => s"bucket=$bucket/$f")
+      }
+    }
+  }
+
+  /** Read the materialized table back: ONLY the files the manifest chain
+    * lists (the Iceberg reader contract) — a stray or partial file sitting
+    * in a committed bucket dir is invisible here, exactly as it would be to
+    * a real Iceberg reader. `basePath` keeps the `bucket` partition column.
+    */
+  def read(root: String)(implicit spark: SparkSession): DataFrame = {
+    val files = manifestFiles(root)
+    if (files.isEmpty) spark.read.parquet(s"$root/data") // no/empty snapshot: surface the scan error
+    else spark.read.option("basePath", s"$root/data")
+      .parquet(files.map(f => s"$root/data/$f"): _*)
+  }
 
   /** Lineage/metrics table. */
   def metrics(root: String)(implicit spark: SparkSession): DataFrame =

@@ -88,6 +88,31 @@ class ExprSpec extends AnyFunSuite {
       assert(r.getLong(0) == r.getLong(1), s"native=${r.getLong(0)} hof=${r.getLong(1)}")
   }
 
+  test("RollingHashExpr degrades on malformed UTF-8 instead of crashing") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // binary data read as string reaches the expression as raw bytes with
+    // no validation (cast(binary as string) wraps, never checks) — truncated
+    // leads, stray continuations and 0xF8+ leads must hash as single units,
+    // not index past the buffer (the first cut threw
+    // ArrayIndexOutOfBoundsException on exactly these)
+    val malformed = Seq[Array[Byte]](
+      Array(0xC3.toByte),                       // 2-byte lead, no continuation
+      Array(0xE4.toByte, 0xB8.toByte),          // 3-byte lead, one short
+      Array(0xF0.toByte, 0x9F.toByte),          // 4-byte lead, two short
+      Array(0x80.toByte, 'a'.toByte),           // stray continuation byte
+      Array(0xF9.toByte, 'a'.toByte, 'b'.toByte), // invalid 0xF8+ lead
+      Array('a'.toByte, 0xC3.toByte))           // valid then truncated
+    for (b <- malformed) {
+      val h = graft.functions.RollingHashEval.eval(UTF8String.fromBytes(b))
+      assert(h >= 0L, s"hash of ${b.mkString(",")} should be defined")
+    }
+    // and through the engine: a binary column cast to string
+    import spark.implicits._
+    val rows = malformed.toDF("b")
+      .select(Exprs.rollingHash(col("b").cast("string")).as("h")).collect()
+    assert(rows.length == malformed.size && rows.forall(_.getLong(0) >= 0L))
+  }
+
   test("SQL registration via GraftExtensions") {
     import spark.implicits._
     samples.toDF("s").createOrReplaceTempView("t")

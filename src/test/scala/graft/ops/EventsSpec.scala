@@ -8,9 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Edge-case fixtures for the events operators: the exact 30-minute gap
   * boundary (must MERGE — sessions split only when gap > threshold, the
   * engine's inclusive merge, matching Events.sessionize and the
-  * session_window streaming twin), single-event sessions, and the resize keep-branch
-  * (dead on the synthetic corpus whose stub dims are always > 512, so the
-  * oracle can never exercise it).
+  * session_window streaming twin), single-event sessions, and both
+  * resizeBatch branches (the stub dims straddle maxDim=512 since round 5,
+  * so the keep branch is live on the synthetic corpus and covered by the
+  * q41 oracle as well as here).
   */
 class EventsSpec extends AnyFunSuite {
 
@@ -59,29 +60,41 @@ class EventsSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.getAs[Long]("n_events") == 2L)
   }
 
-  test("resizeBatch keep-branch: dims already within maxDim pass through unscaled") {
+  test("resizeBatch: keep AND scale branches are both live and both correct") {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    val docs = Seq(("m1", Seq(("media", "", "img_m1_1.png", 0)))).toDF("doc_id", "sp")
-      .select(col("doc_id"), transform(col("sp"), x =>
-        struct(x.getField("_1").as("kind"), x.getField("_2").as("text"),
-          x.getField("_3").as("media_ref"), x.getField("_4").as("offset"))).as("spans"))
-    val media = Multimodal.mediaTable(docs)
-    // maxDim larger than any stub dimension -> keep branch everywhere
-    val kept = Multimodal.resizeBatch(media, maxDim = 4000).collect()
-    assert(kept.nonEmpty)
-    for (r <- kept) {
-      assert(r.getAs[Long]("out_w") == r.getAs[Long]("width"))
-      assert(r.getAs[Long]("out_h") == r.getAs[Long]("height"))
-    }
-    // and the scale branch preserves aspect within integer floor
-    val scaled = Multimodal.resizeBatch(media, maxDim = 512).collect()
-    for (r <- scaled) {
+    // payload construction mirrors Multimodal.mediaTable; 100 refs make the
+    // deterministic stub dims land on BOTH sides of maxDim=512 (the former
+    // 640/480 dim bases made the keep branch dead on every stub payload)
+    val media = (1 to 100).map(i => ("m1", s"img_m1_$i.png")).toDF("doc_id", "media_ref")
+      .withColumn("payload", encode(concat(lit("IMGDATA:"), col("media_ref"),
+        lit(":"), repeat(lit("x"), 64)), "UTF-8"))
+    val rows = Multimodal.resizeBatch(media, maxDim = 512).collect()
+    assert(rows.length == 100)
+    var keepN = 0
+    var scaleN = 0
+    for (r <- rows) {
       val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
       val (ow, oh) = (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))
-      assert(math.max(ow, oh) <= 512)
-      val scale = 512.0 / math.max(w, h)
-      assert(ow == math.floor(w * scale).toLong && oh == math.floor(h * scale).toLong)
+      if (math.max(w, h) <= 512) { // keep branch: untouched
+        keepN += 1
+        assert(ow == w && oh == h, s"keep branch scaled $w x $h -> $ow x $oh")
+      } else { // scale branch: aspect preserved within integer floor
+        scaleN += 1
+        assert(math.max(ow, oh) <= 512)
+        // same fold order as the operator/oracle: floor(dim * 512.0 / max),
+        // NOT floor(dim * (512.0 / max)) — the latter rounds differently
+        val m = math.max(w, h).toDouble
+        assert(ow == math.floor(w * 512.0 / m).toLong && oh == math.floor(h * 512.0 / m).toLong)
+      }
+    }
+    assert(keepN > 0 && scaleN > 0,
+      s"both when-branches must be live on stub dims (keep=$keepN scale=$scaleN)")
+    // maxDim above every stub dim -> keep branch everywhere
+    val all = Multimodal.resizeBatch(media, maxDim = 4000).collect()
+    for (r <- all) {
+      assert(r.getAs[Long]("out_w") == r.getAs[Long]("width"))
+      assert(r.getAs[Long]("out_h") == r.getAs[Long]("height"))
     }
   }
 }

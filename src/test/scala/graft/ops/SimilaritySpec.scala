@@ -64,6 +64,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r >= 0.9, s"LSH planted recall $r")
   }
 
+  test("asciiLower: lowers only A-Z, leaving İ/ß-class characters untouched") {
+    // cross-engine discipline: Java toLowerCase full-maps U+0130 'İ' to
+    // "i"+combining-dot while DuckDB's utf8proc simple-maps it — so the
+    // hash-bearing paths lower ONLY ASCII on both engines (the SQL twin is
+    // translate(A-Z, a-z), ASCII-only by construction)
+    assert(Similarity.asciiLower("İsTANBUL ß StraßE 123") == "İstanbul ß straße 123")
+    assert(Similarity.asciiLower("") == "")
+    assert(Similarity.asciiLower("already lower") == "already lower")
+  }
+
+  test("autoBits: floors at HyperplaneBits and grows with log2(n)") {
+    // self-tending scale knob: small corpora keep the constant, big corpora
+    // get bucket-bounding growth (the recall tests above and the end-to-end
+    // derived-embedding test below both run WITHOUT passing bits, i.e.
+    // through autoBits, at two corpus sizes: 1000 and 100 vectors)
+    assert(Similarity.autoBits(100) == Similarity.HyperplaneBits)
+    assert(Similarity.autoBits(1000) == Similarity.HyperplaneBits)
+    assert(Similarity.autoBits(64L << 12) == 12)
+    assert(Similarity.autoBits(64L << 20) == 20) // ~6.7e7 vectors
+    assert(Similarity.autoBits(1000000000L) == 24) // 10^9 vectors
+    assert(Similarity.autoBits((64L << 20) + 1) == 21) // strict ceil
+  }
+
   test("ANN-LSH hyperplanes are non-degenerate (no row equal or antipodal)") {
     // round-1 regression: fnv("hp:b:d") & 1 is a separable parity function,
     // which collapsed ALL hyperplanes to one plane up to sign (2 buckets
@@ -265,12 +288,49 @@ class SimilaritySpec extends AnyFunSuite {
     // checkpoint dir must actually be written
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("doc_a", "doc_b")
+    val globalBefore = spark.sparkContext.getCheckpointDir
     val got = LshDedup.clusterWinners(pairs, checkpointDir = Some(dir))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"), got.toString)
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0, s"no reliable checkpoint files written under $dir")
+    // the per-round parquet rounds must NOT hijack the application's global
+    // checkpoint dir (the old Dataset.checkpoint path silently re-pointed it
+    // to <dir>/<UUID> on every call)
+    assert(spark.sparkContext.getCheckpointDir == globalBefore,
+      s"clusterWinners clobbered the global checkpoint dir: ${spark.sparkContext.getCheckpointDir}")
+    // and old rounds are cleaned as newer rounds become durable: at most the
+    // last two labels_r<N> round dirs remain
+    val roundDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("labels_r"))
+    assert(roundDirs.length <= 2, s"stale checkpoint rounds not cleaned: ${roundDirs.mkString(", ")}")
+  }
+
+  test("clusterWinners: frontier pruning — converged stars stop paying edge cost") {
+    import spark.implicits._
+    // 200 star components (hub + 5 leaves — converge in round 1, the web
+    // scale common case) + one deep chain of 33 (drives many rounds). The
+    // frontier version must (a) produce labels identical to full
+    // propagation semantics and (b) collapse the per-round processed-edge
+    // count after round 1 instead of re-joining all edges every round.
+    val stars = (0 until 200).flatMap(i => (1 to 5).map(l => (f"s$i%03d_0", f"s$i%03d_$l")))
+    val chain = (0 until 32).map(i => (f"c$i%03d", f"c${i + 1}%03d"))
+    val pairs = (stars ++ chain).toDF("doc_a", "doc_b")
+    val st = scala.collection.mutable.Buffer.empty[LshDedup.CcRoundStat]
+    val got = LshDedup.clusterWinners(pairs, stats = Some(st))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (i <- 0 until 200; l <- 0 to 5)
+      assert(got(f"s$i%03d_$l") == f"s$i%03d_0", s"star $i member $l mislabeled")
+    for (i <- 0 to 32)
+      assert(got(f"c$i%03d") == "c000", s"chain member $i mislabeled")
+    // round 1 sees every edge once per direction (delta = all nodes)...
+    assert(st.head.processedEdges == 2L * (stars.size + chain.size),
+      s"round-1 frontier should be the full symmetric edge set: $st")
+    // ...and once the stars settle, later rounds touch only edges incident
+    // to the chain's shrinking frontier
+    assert(st.length >= 2 && st(1).processedEdges < st.head.processedEdges / 4,
+      s"round-2 frontier did not collapse: $st")
+    assert(st.last.changed == 0L, s"final round must certify convergence: $st")
   }
 
   test("clusterWinners: pointer jumping needs far fewer rounds than the diameter") {

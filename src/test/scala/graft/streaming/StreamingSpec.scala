@@ -70,7 +70,8 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSeq.sortBy(_._1)
     val expected = graft.ops.Events.windowedCounts(
         spark.read.parquet(s"$sfDir/events.parquet"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
 
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
     val out = graft.ops.Events.windowedCounts(
@@ -98,9 +99,13 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(Seq(sentinel.copy(_2 = new java.sql.Timestamp(maxTs + 3 * 3600 * 1000L))))
       query.processAllAvailable()
 
+      // n_users_approx rides the stream because the HLL++ sketch merges
+      // order-independently (register-wise max) — so the streamed estimate
+      // must EQUAL the batch estimate per window, not just approximate it
       val got = spark.sql(
-          "SELECT hour_ts, event_type, n_events, value_cents FROM events_stream")
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          "SELECT hour_ts, event_type, n_events, value_cents, n_users_approx FROM events_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
         .filter(_._2 != "sentinel").toSet
       assert(got == expected, s"streamed windows must equal batch windows " +
         s"(got ${got.size}, expected ${expected.size})")

@@ -99,6 +99,25 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.completedBuckets(root) == (0 until 4).toSet)
   }
 
+  test("orphan file in a COMMITTED bucket dir is invisible to read (manifest-listed files only)") {
+    val root = Files.createTempDirectory("snap6").toString
+    val docs = Corpus.docsTable(spark, sfDir)
+    SnapshotTable.runResumable(docs, pipeline, root, 4)
+    val before = SnapshotTable.read(root).count()
+    // inject an orphan AFTER commit: duplicate a committed part file under a
+    // new name inside its own bucket dir (same schema, so a wholesale dir
+    // scan would silently double-count it)
+    val dataDir = new java.io.File(s"$root/data")
+    val bucketDir = dataDir.listFiles().filter(_.isDirectory)
+      .find(_.listFiles().exists(f => f.isFile && !f.getName.startsWith("."))).get
+    val part = bucketDir.listFiles().filter(f => f.isFile && !f.getName.startsWith(".")).head
+    Files.copy(part.toPath, bucketDir.toPath.resolve("part-orphan-deadbeef.snappy.parquet"))
+    assert(SnapshotTable.read(root).count() == before,
+      "manifest-driven read must not see the orphan file")
+    // the fidelity gap this closes: a wholesale directory scan DOES see it
+    assert(spark.read.parquet(s"$root/data").count() > before)
+  }
+
   test("uncommitted partial data is discarded on resume (no duplicates)") {
     val root = Files.createTempDirectory("snap2").toString
     val docs = Corpus.docsTable(spark, sfDir)
