@@ -156,6 +156,28 @@ object Queries {
 
     "q48_doc_embed" -> ((s, dir) => Embed.docEmbeddingRows(docsOf(s, dir))),
 
+    // ---- dataset assembly: splits / sampling / incremental ingest ----
+    "q50_train_split" -> ((s, dir) => Splits.assignSplits(docsOf(s, dir))),
+
+    "q51_stratified_sample" -> ((s, dir) =>
+      Splits.stratifiedSample(docsOf(s, dir))),
+
+    // incoming = the "test" hash slice (>= ValLt) PLUS derived exact copies
+    // of every 50th base doc (id offset 10^6) — the synthetic corpus plants
+    // near-dups but no exact copies, so without the derivation the oracle
+    // would never exercise the exact branch; base = the rest. A
+    // deterministic stand-in for "tonight's crawl vs the corpus"; the
+    // operator itself takes any two frames.
+    "q52_incremental_dedup" -> ((s, dir) => {
+      val d = docsOf(s, dir).select(col("doc_id"), col("text"))
+      val b = Splits.bucketOf(col("doc_id"), Splits.SplitSalt, Splits.SplitBuckets)
+      val base = d.filter(b < Splits.ValLt)
+      val incoming = d.filter(b >= Splits.ValLt).unionByName(
+        base.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      Splits.incrementalNearDups(incoming, base)
+    }),
+
     // ---- text analysis ----
     "q28_lang_id" -> ((s, dir) => TextAnalysis.langId(docsOf(s, dir))),
     "q29_quality" -> ((s, dir) => TextAnalysis.quality(docsOf(s, dir))),
@@ -678,6 +700,58 @@ object Queries {
          |      FROM documents d, range(0, ${ops.Embed.Dim}) r(i))
          |SELECT g.doc_id, g.dim_idx, CAST(COALESCE(s.v, 0) AS BIGINT) AS val
          |FROM g LEFT JOIN s ON s.doc_id = g.doc_id AND s.dim_idx = g.dim_idx""").stripMargin,
+
+    // ---- dataset assembly: constants interpolated from graft.ops.Splits
+    // so Spark and oracle move in lock-step; buckets are powers of two so
+    // the HUGEINT modulus here equals the Spark signed low-bits mask ----
+    "q50_train_split" -> {
+      val b = s"(${OracleHash.fnvOf(s"CAST(doc_id AS VARCHAR) || '${Splits.SplitSalt}'")} % ${Splits.SplitBuckets})"
+      s"""WITH b AS (SELECT doc_id, CAST($b AS BIGINT) AS bucket FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < ${Splits.TrainLt} THEN 'train'
+         |       WHEN bucket < ${Splits.ValLt} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin
+    },
+
+    "q51_stratified_sample" -> {
+      val key = s"(${OracleHash.fnvOf(s"CAST(doc_id AS VARCHAR) || '${Splits.SampleSalt}'")} % ${Splits.SampleBuckets})"
+      val rateCase = Splits.DefaultRates
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", s" ELSE ${Splits.SampleBuckets} END")
+      s"""WITH b AS (SELECT doc_id, lang, CAST($key AS BIGINT) AS sample_key,
+         |           CAST($rateCase AS BIGINT) AS rate FROM documents)
+         |SELECT doc_id, lang, sample_key, rate FROM b WHERE sample_key < rate""".stripMargin
+    },
+
+    // all-pairs recomputation is a FAIR oracle for the banded Spark near
+    // screen: threshold 6 < 8 bands means banding has exact recall
+    "q52_incremental_dedup" -> {
+      val b = s"(${OracleHash.fnvOf(s"CAST(doc_id AS VARCHAR) || '${Splits.SplitSalt}'")} % ${Splits.SplitBuckets})"
+      s"""WITH d0 AS (SELECT doc_id, ${norm("text")} AS nrm, CAST(doc_id AS VARCHAR) AS rk,
+         |            CAST($b AS BIGINT) AS bucket FROM documents),
+         |${OracleHash.simhashCtes("d0", "nrm", 5, "dsig")},
+         |sg AS (SELECT doc_id, bucket, sig, ${OracleHash.fnvOf("nrm")} AS xh FROM dsig),
+         |inc AS (SELECT doc_id, sig, xh FROM sg WHERE bucket >= ${Splits.ValLt}
+         |        UNION ALL
+         |        SELECT doc_id + 1000000 AS doc_id, sig, xh FROM sg
+         |        WHERE bucket < ${Splits.ValLt} AND doc_id % 50 = 0),
+         |bas AS (SELECT * FROM sg WHERE bucket < ${Splits.ValLt}),
+         |ex AS (SELECT i.doc_id, MIN(b.doc_id) AS matched_id
+         |       FROM inc i JOIN bas b ON i.xh = b.xh GROUP BY i.doc_id),
+         |nc AS (SELECT i.doc_id, b.doc_id AS bid, CAST(bit_count(xor(i.sig, b.sig)) AS INT) AS d
+         |       FROM inc i JOIN bas b ON bit_count(xor(i.sig, b.sig)) <= 6
+         |       WHERE i.doc_id NOT IN (SELECT doc_id FROM ex)),
+         |nr AS (SELECT doc_id, bid AS matched_id, d AS distance FROM
+         |       (SELECT doc_id, bid, d, row_number() OVER (PARTITION BY doc_id ORDER BY d, bid) AS rn
+         |        FROM nc) WHERE rn = 1)
+         |SELECT doc_id, matched_id, CAST(0 AS INT) AS distance, 'exact' AS reason FROM ex
+         |UNION ALL SELECT doc_id, matched_id, distance, 'near' AS reason FROM nr
+         |UNION ALL SELECT doc_id, CAST(NULL AS BIGINT) AS matched_id,
+         |  CAST(NULL AS INT) AS distance, 'novel' AS reason
+         |FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+         |  AND doc_id NOT IN (SELECT doc_id FROM nr)""".stripMargin
+    },
 
     "q28_lang_id" ->
       (s"""SELECT doc_id,

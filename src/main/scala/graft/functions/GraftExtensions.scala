@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
@@ -9,17 +9,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
   *   SELECT simhash64(norm, 5), fnv1a64(s) FROM ...
   *
+  * For a session that is ALREADY built (notebooks, shared test sessions —
+  * the extensions conf only applies at session construction), use
+  * [[GraftExtensions.register]] instead.
+  *
   * (The Scala DSL path goes through graft.ops.Exprs and does not need the
   * extension.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[SimHash64Expr].getName, null, name, usage, "")
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("simhash64"),
+  private[functions] val functions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(str, k) - 64-bit SimHash over byte k-grams (FNV-1a)"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "simhash64(str, k) takes 2 arguments")
@@ -29,15 +38,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"simhash64 k must be an integer literal, got $other")
         }
         SimHash64Expr(exprs.head, k)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("fnv1a64"),
+      }),
+    (FunctionIdentifier("fnv1a64"),
       info("fnv1a64", "fnv1a64(str) - FNV-1a 64-bit hash of the UTF-8 bytes"),
-      (exprs: Seq[Expression]) => Fnv1a64Expr(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("graft_normalize"),
+      (exprs: Seq[Expression]) => Fnv1a64Expr(exprs.head)),
+    (FunctionIdentifier("graft_normalize"),
       info("graft_normalize",
         "graft_normalize(str) - reference N1 normalize (lower, collapse runs, letter/digit filter, trim) in one fused pass"),
       (exprs: Seq[Expression]) => NormalizeExpr(exprs.head)))
-  }
+
+  /** Register the graft SQL functions on an existing session (idempotent —
+    * re-registration replaces the same builders).
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, fi, b) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, id, fi, b)
+    }
 }

@@ -115,6 +115,9 @@ class ExprSpec extends AnyFunSuite {
 
   test("SQL registration via GraftExtensions") {
     import spark.implicits._
+    // the extensions conf above only applies if THIS spec won the shared
+    // getOrCreate race — register explicitly so suite order can't break SQL
+    GraftExtensions.register(spark)
     samples.toDF("s").createOrReplaceTempView("t")
     val rows = spark.sql(
         "SELECT s, simhash64(s, 5) AS sig, fnv1a64(s) AS h, graft_normalize(s) AS n FROM t")

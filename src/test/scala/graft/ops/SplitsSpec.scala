@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dataset-assembly suite: split determinism/coverage, stratified-sample
+  * rate fidelity, and a planted incremental-ingest fixture (exact copy /
+  * near-dup / novel must classify as such).
+  */
+class SplitsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("assignSplits: total, disjoint, deterministic, near the 80/10/10 design") {
+    val n = docs.count()
+    val s1 = Splits.assignSplits(docs)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n, "every doc gets exactly one split")
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    // binomial(500, 0.8) is within +-6 sigma of 400 at ~346-454; the check
+    // guards gross mis-bucketing, not the exact draw
+    assert(counts("train") > n * 6 / 10 && counts("train") < n * 95 / 100, counts.toString)
+    assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0, counts.toString)
+    // re-evaluation (fresh plan, different partitioning) agrees row-for-row
+    val s2 = Splits.assignSplits(docs.repartition(7))
+    assert(s1.join(s2.withColumnRenamed("split", "split2"), Seq("doc_id"))
+      .filter(col("split") =!= col("split2")).count() == 0)
+  }
+
+  test("stratifiedSample: kept iff sample_key < stratum rate; en downsampled") {
+    val kept = Splits.stratifiedSample(docs)
+    assert(kept.filter(col("sample_key") >= col("rate")).count() == 0)
+    val enTotal = docs.filter(col("lang") === "en").count()
+    val enKept = kept.filter(col("lang") === "en").count()
+    if (enTotal > 50) {
+      // rate 4096/16384 = 25%; allow wide binomial slack
+      assert(enKept < enTotal * 45 / 100 && enKept > enTotal * 8 / 100,
+        s"en kept $enKept of $enTotal")
+    }
+    // non-stratified langs ride the default rate (16384 = keep all)
+    val other = docs.filter(col("lang") =!= "en").count()
+    assert(kept.filter(col("lang") =!= "en").count() == other)
+  }
+
+  test("incrementalNearDups: planted exact / near / novel classify correctly") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank today."),
+      (2L, "Completely different content about distributed query processing engines."),
+      (3L, "A third base document with its own unmistakably unique text payload."))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      // exact copy of base 1 modulo normalization (whitespace collapses)
+      (101L, "The  quick   brown fox jumps over the lazy dog near the river bank today."),
+      // near-dup of base 2: one word substituted -> few k-grams differ
+      (102L, "Completely different content about distributed query processing systems."),
+      // novel
+      (103L, "Nothing in the base corpus resembles this entirely fresh document text."))
+      .toDF("doc_id", "text")
+    val out = Splits.incrementalNearDups(incoming, base)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getString(3))).toMap
+    assert(out(101L) == (Some(1L), "exact"), out.toString)
+    assert(out(102L)._2 == "near" && out(102L)._1.contains(2L), out.toString)
+    assert(out(103L) == (None, "novel"), out.toString)
+    assert(out.size == 3)
+  }
+
+  test("incrementalNearDups: exact wins over near; min-(distance, id) tie-break") {
+    import spark.implicits._
+    val txt = "Shared content duplicated across several base documents verbatim here."
+    val base = Seq((5L, txt), (4L, txt)).toDF("doc_id", "text")
+    val incoming = Seq((200L, txt)).toDF("doc_id", "text")
+    val r = Splits.incrementalNearDups(incoming, base).collect()
+    assert(r.length == 1)
+    // exact match (also a 0-distance near candidate) reports reason=exact
+    // with the MINIMUM base id
+    assert(r.head.getString(3) == "exact" && r.head.getLong(1) == 4L)
+  }
+}
