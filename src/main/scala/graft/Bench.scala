@@ -78,8 +78,15 @@ object Bench {
     val qreps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val steal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // optional comma-separated subset for focused re-probes of sweep-flagged
+    // queries (sweep readings inside steal episodes are not trustworthy);
+    // the driver leaves this unset and benches the full surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val results = (if (pipelineOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
-                   else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
+                   else SparkEntry.queries)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
       var bestQ = Double.MaxValue
       var lastErr: Option[String] = None
       val s0 = stealJiffies()
