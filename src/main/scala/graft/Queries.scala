@@ -179,6 +179,7 @@ object Queries {
     }),
 
     // ---- text analysis ----
+    "q53_quality_gate" -> ((s, dir) => TextAnalysis.qualityGate(docsOf(s, dir))),
     "q28_lang_id" -> ((s, dir) => TextAnalysis.langId(docsOf(s, dir))),
     "q29_quality" -> ((s, dir) => TextAnalysis.quality(docsOf(s, dir))),
     "q30_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docsOf(s, dir))),
@@ -774,6 +775,22 @@ object Queries {
          |  CAST(floor(len(regexp_extract_all(text, '[0-9]')) * 10000.0 / greatest(length(text), 1)) AS BIGINT) AS digit_ratio_bp,
          |  CAST(floor(${stopHits(tokens("lower(text)"), TextAnalysis.EnStop)} * 10000.0 / greatest(len(${tokens("text")}), 1)) AS BIGINT) AS stopword_ratio_bp
          |FROM documents""").stripMargin,
+
+    // exact inverted-CDF percentiles over the bounded bp histogram — the
+    // same construction as the Spark side (approx_percentile is
+    // deliberately NOT used: sketch merges are engine-specific)
+    "q53_quality_gate" -> {
+      val punctBp = "CAST(floor(len(regexp_extract_all(text, '[^a-zA-Z0-9\t\n\f\r ]')) * 10000.0 / greatest(length(text), 1)) AS BIGINT)"
+      s"""WITH m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |           $punctBp AS punct_ratio_bp FROM documents),
+         |h AS (SELECT punct_ratio_bp AS v, COUNT(*) AS c FROM m GROUP BY 1),
+         |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM h),
+         |thr AS (SELECT MIN(CASE WHEN cum >= ceil(0.05 * n) THEN v END) AS p_lo,
+         |               MIN(CASE WHEN cum >= ceil(0.95 * n) THEN v END) AS p_hi FROM cum)
+         |SELECT m.doc_id, m.punct_ratio_bp, thr.p_lo, thr.p_hi
+         |FROM m, thr
+         |WHERE m.n_chars >= 100 AND m.punct_ratio_bp BETWEEN thr.p_lo AND thr.p_hi""".stripMargin
+    },
 
     "q30_token_counts" ->
       (s"""SELECT doc_id,

@@ -101,4 +101,42 @@ object TextAnalysis {
     aggregate(
       transform(tokens(text), t => length(t).cast("long") * ascii(substring(t, 1, 1))),
       lit(0L), (s, v) => (s + v) % 1000000007L)
+
+  /** Corpus-relative quality gate: keep docs whose punctuation ratio sits
+    * inside the corpus's EXACT [lo, hi] percentile band (inverted-CDF
+    * definition: percentile q = smallest value whose cumulative count
+    * reaches ceil(q*n)) and whose length clears an absolute floor — the
+    * distribution-aware filter (C4/Gopher-style) whose thresholds adapt to
+    * the corpus instead of being hand-tuned constants.
+    *
+    * Exact percentiles WITHOUT approx_percentile (whose sketch merges are
+    * engine-specific — un-oracleable) and WITHOUT a global sort: the metric
+    * is integer-quantized to basis points, so its domain is <= 10001 values
+    * and the full CDF is a bounded histogram — one partial-agg exchange
+    * (map-side combine reduces every partition to <= 10001 rows). The only
+    * single-partition window runs over those aggregated rows, which is the
+    * documented exception to the no-global-window rule: its input is
+    * bounded by the DOMAIN, not the corpus. Thresholds broadcast back to
+    * the metric scan. Two metric passes total (histogram + filter).
+    */
+  def qualityGate(docs: DataFrame, lo: Double = 0.05, hi: Double = 0.95,
+      minChars: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = quality(docs).select(col("doc_id"), col("n_chars"), col("punct_ratio_bp"))
+    val hist = m.groupBy(col("punct_ratio_bp").as("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val thr = hist
+      .select(col("v"), sum(col("c")).over(wCum).as("cum"),
+        sum(col("c")).over(wAll).as("n"))
+      .agg(
+        min(when(col("cum") >= ceil(lit(lo) * col("n")), col("v"))).as("p_lo"),
+        min(when(col("cum") >= ceil(lit(hi) * col("n")), col("v"))).as("p_hi"))
+    m.crossJoin(broadcast(thr))
+      .filter(col("n_chars") >= minChars &&
+        col("punct_ratio_bp").between(col("p_lo"), col("p_hi")))
+      .select(col("doc_id"), col("punct_ratio_bp"), col("p_lo"), col("p_hi"))
+  }
 }

@@ -76,6 +76,22 @@ class SplitsSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("qualityGate: exact percentile thresholds on a known distribution") {
+    import spark.implicits._
+    // 20 docs: punct counts 0..19 over 100 'a' chars -> punct_ratio_bp
+    // 0,99,198,...; n=20, ceil(.05*20)=1 -> p_lo = 0th value, ceil(.95*20)=19
+    // -> p_hi = 19th smallest = value of doc 18 (ratio 18/118)
+    val docs = (0 until 20).map { i =>
+      (i.toLong, "a" * 100 + "!" * i)
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.qualityGate(docs).collect()
+    val pLo = out.head.getLong(2); val pHi = out.head.getLong(3)
+    val bp = (i: Int) => math.floor(i * 10000.0 / (100 + i)).toLong
+    assert(pLo == bp(0) && pHi == bp(18), s"thresholds ($pLo, $pHi)")
+    // doc 19 (top 5%) excluded, everything else kept (all clear minChars)
+    assert(out.map(_.getLong(0)).sorted.toSeq == (0L until 19L))
+  }
+
   test("incrementalNearDups: exact wins over near; min-(distance, id) tie-break") {
     import spark.implicits._
     val txt = "Shared content duplicated across several base documents verbatim here."

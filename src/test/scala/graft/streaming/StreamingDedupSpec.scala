@@ -60,4 +60,31 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(batchWinners.size == all.size)
     } finally query.stop()
   }
+
+  test("novelDocs under the RocksDB state store provider (the web-scale config)") {
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[RawDoc]
+    val query = StreamingDedup.novelDocs(mem.toDF()).writeStream
+      .format("memory").queryName("novel_rocks").outputMode("append").start()
+    try {
+      mem.addData(Seq(RawDoc(1L, "rocksdb state doc one"), RawDoc(2L, "rocksdb state doc two")))
+      query.processAllAvailable()
+      mem.addData(Seq(RawDoc(3L, "rocksdb state doc one"), RawDoc(4L, "rocksdb state doc three")))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM novel_rocks").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 4L), got.toString)
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
