@@ -180,6 +180,47 @@ object Queries {
 
     // ---- text analysis ----
     "q53_quality_gate" -> ((s, dir) => TextAnalysis.qualityGate(docsOf(s, dir))),
+
+    // every 7th doc gains its own first line appended twice — the synthetic
+    // corpus has no WITHIN-doc duplicate lines (its planted dups are
+    // cross-doc), so without the derivation the dup-line metrics would be
+    // oracle-checked only at zero (the q41-class dead-branch trap). The
+    // operator itself takes any (doc_id, text) frame.
+    "q54_repetition" -> ((s, dir) => {
+      val first = element_at(split(col("text"), "\n"), 1)
+      Repetition.signals(docsOf(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("\n"), first, lit("\n"), first))
+          .otherwise(col("text")).as("text")))
+    }),
+
+    // PII is planted deterministically (the synthetic corpus carries none):
+    // every 5th doc gains a footer with a derived email / phone / IPv4; the
+    // oracle builds the identical footer, so detection AND redaction are
+    // both checked. The operator itself takes any (doc_id, text) frame.
+    "q55_pii_scrub" -> ((s, dir) => {
+      val d = docsOf(s, dir)
+      val footer = concat(
+        lit("\nContact: user"), col("doc_id").cast("string"),
+        lit("@example.com or +1 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))
+      Pii.scrub(d.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), footer))
+          .otherwise(col("text")).as("text")))
+    }),
+
+    // eval set = every 97th doc — a small slice OF the corpus, so those
+    // docs (and their planted near-dups) must flag as contaminated while
+    // the rest stay clean; a deterministic stand-in for "held-out benchmark
+    // vs training corpus". The operator takes any two frames.
+    "q56_decontaminate" -> ((s, dir) => {
+      val d = docsOf(s, dir)
+      Decontaminate.screen(d, d.filter(col("doc_id") % 97 === 0))
+    }),
+
+    "q57_pack_sequences" -> ((s, dir) => Pack.packSequences(docsOf(s, dir))),
     "q28_lang_id" -> ((s, dir) => TextAnalysis.langId(docsOf(s, dir))),
     "q29_quality" -> ((s, dir) => TextAnalysis.quality(docsOf(s, dir))),
     "q30_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docsOf(s, dir))),
@@ -790,6 +831,81 @@ object Queries {
          |SELECT m.doc_id, m.punct_ratio_bp, thr.p_lo, thr.p_hi
          |FROM m, thr
          |WHERE m.n_chars >= 100 AND m.punct_ratio_bp BETWEEN thr.p_lo AND thr.p_hi""".stripMargin
+    },
+
+    // within-row repetition signals recomputed relationally (explode +
+    // groupBy) — a structurally DIFFERENT construction from the Spark
+    // fold, which is what makes the check adversarial; max(cnt*len) is the
+    // tie-free "top bigram" definition shared with Repetition.signals
+    "q54_repetition" ->
+      (s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || chr(10) ||
+         |      string_split(text, chr(10))[1] || chr(10) || string_split(text, chr(10))[1]
+         |    ELSE text END AS text FROM documents),
+         |t AS (SELECT doc_id, length(text) AS n_chars,
+         |    list_filter(string_split(text, chr(10)), l -> l <> '') AS ls,
+         |    ${tokens("text")} AS tk FROM d),
+         |l AS (SELECT doc_id, n_chars, tk, len(ls) AS n_lines,
+         |    len(list_distinct(ls)) AS n_dl,
+         |    COALESCE(list_aggregate(list_transform(ls, x -> CAST(length(x) AS BIGINT)), 'sum'), 0) AS lc,
+         |    COALESCE(list_aggregate(list_transform(list_distinct(ls), x -> CAST(length(x) AS BIGINT)), 'sum'), 0) AS dlc
+         |  FROM t),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS gram FROM l),
+         |c AS (SELECT doc_id, MAX(cnt * length(gram)) AS top_chars
+         |  FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2) GROUP BY 1)
+         |SELECT l.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(floor((n_lines - n_dl) * 10000.0 / greatest(n_lines, 1)) AS BIGINT) AS dup_line_frac_bp,
+         |  CAST(floor((lc - dlc) * 10000.0 / greatest(lc, 1)) AS BIGINT) AS dup_line_char_frac_bp,
+         |  CAST(floor(COALESCE(top_chars, 0) * 10000.0 / greatest(n_chars, 1)) AS BIGINT) AS top_bigram_char_frac_bp
+         |FROM l LEFT JOIN c ON l.doc_id = c.doc_id""").stripMargin,
+
+    // same planted footer as the Spark side; patterns interpolated from
+    // graft.ops.Pii so both engines compile the identical regex source
+    // (written to mean the same under Java backtracking and RE2
+    // leftmost-longest — see Pii's scaladoc)
+    "q55_pii_scrub" ->
+      (s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || 'Contact: user' ||
+         |    CAST(doc_id AS VARCHAR) || '@example.com or +1 555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |    CAST((doc_id * 7) % 256 AS VARCHAR)
+         |  ELSE text END AS text FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Pii.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${Pii.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${Pii.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Pii.Ipv4Re}', '<IP>', 'g'),
+         |    '${Pii.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM p""").stripMargin,
+
+    "q56_decontaminate" -> {
+      val n = ops.Decontaminate.DefaultN
+      s"""WITH tk AS (SELECT doc_id, ${tokens(asciiLower("text"))} AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+         |    i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' '))) AS gram FROM tk),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |h AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |      FROM g JOIN ev USING (gram) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin
+    },
+
+    // the distributed two-pass prefix sum vs a plain window — integer
+    // arithmetic, so they must agree EXACTLY
+    "q57_pack_sequences" -> {
+      val b = ops.Pack.DefaultBudget
+      s"""WITH w AS (SELECT doc_id, CAST(len(${tokens("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM w)
+         |SELECT doc_id, n_tokens, cum_before,
+         |  cum_before // $b AS seq_id, cum_before % $b AS seq_offset FROM c""".stripMargin
     },
 
     "q30_token_counts" ->

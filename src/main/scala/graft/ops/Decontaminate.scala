@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share token
+  * n-grams with a (small) evaluation set — the overlap screen every
+  * serious pretraining pipeline runs so eval questions don't leak into
+  * the training corpus (no reference analogue; graft-added §2.9).
+  *
+  * Scale shape: the corpus side explodes its n-grams MAP-SIDE and
+  * immediately collapses them against a BROADCAST of the eval set's
+  * distinct grams — the big side never shuffles gram strings; the only
+  * exchange carries (doc_id, hit) pairs that survive the broadcast join,
+  * which at a sane contamination rate is a vanishing fraction of the
+  * corpus. Eval sets are small by construction (thousands of documents),
+  * so the broadcast is the right default; if an eval set ever outgrew the
+  * broadcast threshold the same code degrades to a shuffled hash join on
+  * the gram rather than failing.
+  */
+object Decontaminate {
+
+  /** Token n-grams of `text` (ASCII-lowercased, whitespace tokens, joined
+    * by one space); empty below n tokens. ASCII-only lowering (translate,
+    * not lower()) because grams are JOIN KEYS: engine lower()s disagree on
+    * some Unicode uppercase (see OracleSql.asciiLower), which would
+    * silently flip membership. The `when` guard matters: Spark's
+    * `sequence(1, 0)` helpfully steps BACKWARDS, which would fabricate
+    * grams for short docs.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(translate(text,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  val DefaultN = 8
+
+  /** Per-doc eval-overlap counts: `n_hits` = how many of the doc's n-gram
+    * POSITIONS carry a gram that appears anywhere in `evalDocs`;
+    * `contaminated` iff any do. Every input doc keeps a row (left join on
+    * the doc spine), so downstream `filter(!contaminated)` is a complete
+    * decision, not a survivor list.
+    */
+  def screen(docs: DataFrame, evalDocs: DataFrame, n: Int = DefaultN): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(ngrams(col("text"), n)).as("gram"))
+      .distinct()
+    val hits = docs
+      .select(col("doc_id"), explode(ngrams(col("text"), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+}

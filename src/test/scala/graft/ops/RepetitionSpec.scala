@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repetition-signal fixtures with hand-computed expectations, covering the
+  * branches the synthetic corpus alone would leave at zero (the oracle path
+  * plants dup lines for that — q54's derivation; here the arithmetic itself
+  * is pinned).
+  */
+class RepetitionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sig(text: String): (Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = Repetition.signals(Seq((1L, text)).toDF("doc_id", "text")).collect()(0)
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("duplicate lines: counts, char mass, empty-line exclusion") {
+    // lines a,b,a,c (the blank line vanishes): 4 lines, 3 distinct
+    val (nl, dupBp, dupCharBp, _) = sig("a\nb\na\n\nc")
+    assert(nl == 4L)
+    assert(dupBp == 2500L) // (4-3)/4
+    assert(dupCharBp == 2500L) // 1 duplicated char of 4
+  }
+
+  test("duplicate char mass weights long lines more") {
+    // "longline" duplicated (8 of 17 line chars), "x" unique
+    val (_, dupBp, dupCharBp, _) = sig("longline\nx\nlongline")
+    assert(dupBp == 3333L) // 1 of 3 lines
+    assert(dupCharBp == floorBp(8, 17))
+  }
+
+  test("top bigram: max(count * len) over token bigrams") {
+    // tokens x y x y x -> bigrams "x y","y x","x y","y x": both count 2,
+    // len 3 -> top chars 6 of 9 text chars
+    val (_, _, _, topBp) = sig("x y x y x")
+    assert(topBp == floorBp(6, 9))
+  }
+
+  test("degenerate docs: empty text and single token yield zeros") {
+    assert(sig("") == ((0L, 0L, 0L, 0L)))
+    assert(sig("solo") == ((1L, 0L, 0L, 0L)))
+  }
+
+  test("no duplicates -> zero dup fractions, bigram still counted") {
+    val (nl, dupBp, dupCharBp, topBp) = sig("a b\nc d")
+    assert(nl == 2L && dupBp == 0L && dupCharBp == 0L)
+    assert(topBp == floorBp(3, 7)) // every bigram count 1, len 3 ("a b")
+  }
+
+  private def floorBp(num: Long, den: Long): Long =
+    math.floor(num * 10000.0 / den).toLong
+}
