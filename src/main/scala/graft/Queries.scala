@@ -221,6 +221,10 @@ object Queries {
     }),
 
     "q57_pack_sequences" -> ((s, dir) => Pack.packSequences(docsOf(s, dir))),
+
+    "q58_vocab" -> ((s, dir) => Vocab.tokenStats(docsOf(s, dir))),
+
+    "q59_unigram_score" -> ((s, dir) => Vocab.unigramScore(docsOf(s, dir))),
     "q28_lang_id" -> ((s, dir) => TextAnalysis.langId(docsOf(s, dir))),
     "q29_quality" -> ((s, dir) => TextAnalysis.quality(docsOf(s, dir))),
     "q30_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docsOf(s, dir))),
@@ -907,6 +911,23 @@ object Queries {
          |SELECT doc_id, n_tokens, cum_before,
          |  cum_before // $b AS seq_id, cum_before % $b AS seq_offset FROM c""".stripMargin
     },
+
+    "q58_vocab" ->
+      (s"""WITH tk AS (SELECT doc_id, unnest(${tokens(asciiLower("text"))}) AS token FROM documents)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM tk GROUP BY token HAVING COUNT(*) >= 2""").stripMargin,
+
+    // floor(log2(tf)) as length(bin(tf))-1 — exact integer bit arithmetic
+    // on both engines (float log2 would round differently)
+    "q59_unigram_score" ->
+      (s"""WITH tk AS (SELECT doc_id, unnest(${tokens(asciiLower("text"))}) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS tf FROM tk GROUP BY 1),
+         |p AS (SELECT tk.doc_id, SUM(length(bin(c.tf)) - 1) AS l2sum, COUNT(*) AS n_tokens
+         |      FROM tk JOIN c USING (token) GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(floor(COALESCE(p.l2sum, 0) * 10000.0 / greatest(COALESCE(p.n_tokens, 0), 1)) AS BIGINT) AS uni_score_bp
+         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""").stripMargin,
 
     "q30_token_counts" ->
       (s"""SELECT doc_id,

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vocabulary-stats suite: hand-computed tf/df fixture (case folding, minTf
+  * cut), exact unigram-score arithmetic including the empty-doc row, and the
+  * precomputed-vocab fast path equalling the self-computed one.
+  */
+class VocabSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def fixture(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "The cat sat"),
+      (2L, "the cat ran"),
+      (3L, "THE the zebra"),
+      (4L, "")).toDF("doc_id", "text")
+  }
+
+  test("tokenStats: tf totals occurrences, df counts docs, minTf cuts the tail") {
+    val out = Vocab.tokenStats(fixture(), minTf = 2L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "the": 4 occurrences (The/the/THE/the) across 3 docs; "cat": 2 in 2 docs
+    assert(out == Map("the" -> ((4L, 3L)), "cat" -> ((2L, 2L))))
+  }
+
+  test("unigramScore: exact integer arithmetic, empty doc keeps a zero row") {
+    val out = Vocab.unigramScore(fixture()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // corpus tf: the=4 sat=1 cat=2 ran=1 zebra=1 -> floor(log2): 2,0,1,0,0
+    // doc1 the,cat,sat: (2+1+0)/3 = 10000 bp; doc2 the,cat,ran: 3/3 -> 10000
+    // doc3 the,the,zebra: (2+2+0)/3 -> floor(4*10000/3)=13333; doc4 empty -> 0
+    assert(out == Map(
+      1L -> ((3L, 10000L)), 2L -> ((3L, 10000L)),
+      3L -> ((3L, 13333L)), 4L -> ((0L, 0L))))
+  }
+
+  test("precomputed broadcast vocab path equals the self-computed path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = broadcast(Vocab.tokenStats(docs, minTf = 1L))
+    val a = Vocab.unigramScore(docs)
+    val b = Vocab.unigramScore(docs, vocab = Some(vocab))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() == docs.count())
+  }
+}
