@@ -225,6 +225,8 @@ object Queries {
     "q58_vocab" -> ((s, dir) => Vocab.tokenStats(docsOf(s, dir))),
 
     "q59_unigram_score" -> ((s, dir) => Vocab.unigramScore(docsOf(s, dir))),
+
+    "q60_corpus_shuffle" -> ((s, dir) => Splits.deterministicShuffle(docsOf(s, dir))),
     "q28_lang_id" -> ((s, dir) => TextAnalysis.langId(docsOf(s, dir))),
     "q29_quality" -> ((s, dir) => TextAnalysis.quality(docsOf(s, dir))),
     "q30_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docsOf(s, dir))),
@@ -928,6 +930,18 @@ object Queries {
          |SELECT d.doc_id, CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
          |  CAST(floor(COALESCE(p.l2sum, 0) * 10000.0 / greatest(COALESCE(p.n_tokens, 0), 1)) AS BIGINT) AS uni_score_bp
          |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""").stripMargin,
+
+    // the permutation position is ROW_NUMBER over the SIGNED hash (Spark
+    // LongType ordering), doc_id as tiebreak — recomputed from the HUGEINT
+    // fnv independently
+    "q60_corpus_shuffle" -> {
+      val h = OracleHash.toSigned(
+        OracleHash.fnvOf(s"CAST(doc_id AS VARCHAR) || '${ops.Splits.ShuffleSalt}'"))
+      s"""WITH k AS (SELECT doc_id, $h AS shuffle_key FROM documents)
+         |SELECT doc_id, shuffle_key,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS shuffle_pos
+         |FROM k""".stripMargin
+    },
 
     "q30_token_counts" ->
       (s"""SELECT doc_id,

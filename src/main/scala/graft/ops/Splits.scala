@@ -84,6 +84,33 @@ object Splits {
       .select(col("doc_id"), col("lang"), col("sample_key"), col("rate"))
   }
 
+  val ShuffleSalt = "|shuffle|v1"
+
+  /** Deterministic global shuffle: assign every doc a permutation position
+    * by ranking on fnv1a64(doc_id + versioned salt) — the "shuffle the
+    * corpus" step a training pipeline runs before [[Pack.packSequences]]
+    * (feed `shuffle_pos` as the ordering id to pack in shuffled order;
+    * pinned by SplitsSpec). `orderBy(rand())` would reshuffle on every
+    * retry/re-scan (Spark re-executes nondeterministic expressions per
+    * task attempt) and can't be reproduced for a given data version; the
+    * hash rank is a pure function of content + salt, so shard N of the
+    * training run is the same shard on every rerun and every engine.
+    *
+    * Scale shape: the hash is map-only codegen next to the scan; the rank
+    * is [[Ranks.globalRank]]'s range-exchange + zipWithIndex construction
+    * (no single-partition window). (doc_id is the hash tiebreak so ties
+    * can't make the permutation nondeterministic.)
+    */
+  def deterministicShuffle(docs: DataFrame, salt: String = ShuffleSalt,
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.struct
+    val keyed = docs.select(col("doc_id"),
+      Exprs.fnv1a64(concat(col("doc_id").cast("string"), lit(salt)))
+        .as("shuffle_key"))
+    Ranks.globalRank(keyed, struct(col("shuffle_key"), col("doc_id")),
+      rankCol = "shuffle_pos", partitions = partitions)
+  }
+
   /** Per-doc signature row shared by the incremental screen: exact-match
     * key = fnv1a64 of the normalized text, near-match key = simhash64 over
     * normalized byte k-grams (same normalize + hash kernels as the batch

@@ -103,4 +103,46 @@ class SplitsSpec extends AnyFunSuite {
     // with the MINIMUM base id
     assert(r.head.getString(3) == "exact" && r.head.getLong(1) == 4L)
   }
+
+  test("deterministicShuffle: a true permutation, stable under repartitioning, actually shuffled") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val a = Splits.deterministicShuffle(docs, partitions = 5)
+    // bijection onto 1..n
+    assert(a.count() == n)
+    assert(a.agg(min("shuffle_pos"), max("shuffle_pos"), countDistinct("shuffle_pos"))
+      .collect().head.toSeq == Seq(1L, n, n))
+    // pure function of content+salt: identical under a different physical layout
+    val b = Splits.deterministicShuffle(docs.repartition(11), partitions = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // it actually permutes (hash order != id order for a real corpus)
+    val idOrdered = a.orderBy("doc_id").select("shuffle_pos")
+      .collect().map(_.getLong(0))
+    assert(idOrdered.sliding(2).exists(p => p(0) > p(1)), "shuffle left id order intact")
+    // a different salt re-rolls the permutation
+    val c = Splits.deterministicShuffle(docs, salt = "|shuffle|v2", partitions = 5)
+    assert(c.exceptAll(a).count() > 0)
+  }
+
+  test("deterministicShuffle composes with Pack: shuffled packing is the sequential pack of the permuted corpus") {
+    import spark.implicits._
+    val docs = Seq((10L, "a b c"), (20L, "d e"), (30L, "f g h i"), (40L, ""))
+      .toDF("doc_id", "text")
+    val pos = Splits.deterministicShuffle(docs, partitions = 2)
+    // pack in shuffled order by feeding shuffle_pos as the ordering id
+    val shuffled = docs.join(pos, "doc_id")
+      .select(col("shuffle_pos").as("doc_id"), col("text"))
+    val packed = Pack.packSequences(shuffled, budget = 4L, partitions = 2)
+    // reference: sequential pack of the permutation computed locally
+    val order = pos.collect().map(r => r.getLong(0) -> r.getLong(2)).sortBy(_._2)
+    val toks = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("[\\t\\n\\f\\r ]+").count(_.nonEmpty).toLong).toMap
+    var cum = 0L
+    val expect = order.map { case (id, p) =>
+      val t = toks(id); val row = (p, t, cum, cum / 4L, cum % 4L); cum += t; row
+    }.toSet
+    val got = packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+  }
 }
