@@ -227,6 +227,8 @@ object Queries {
     "q59_unigram_score" -> ((s, dir) => Vocab.unigramScore(docsOf(s, dir))),
 
     "q60_corpus_shuffle" -> ((s, dir) => Splits.deterministicShuffle(docsOf(s, dir))),
+
+    "q61_dup_ngrams" -> ((s, dir) => Repetition.corpusDupNgrams(docsOf(s, dir))),
     "q28_lang_id" -> ((s, dir) => TextAnalysis.langId(docsOf(s, dir))),
     "q29_quality" -> ((s, dir) => TextAnalysis.quality(docsOf(s, dir))),
     "q30_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docsOf(s, dir))),
@@ -941,6 +943,26 @@ object Queries {
          |SELECT doc_id, shuffle_key,
          |  CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS shuffle_pos
          |FROM k""".stripMargin
+    },
+
+    // the duplicated set is keyed by the gram's fnv hash exactly as the
+    // Spark side shuffles it (unsigned HUGEINT here — grouping is
+    // representation-independent), so even a hash collision yields
+    // identical output on both engines
+    "q61_dup_ngrams" -> {
+      val n = ops.Repetition.DefaultDupN
+      s"""WITH tk AS (SELECT doc_id, ${tokens(asciiLower("text"))} AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+         |    i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' '))) AS gram FROM tk),
+         |gh AS (SELECT doc_id, ${OracleHash.fnvOf("gram")} AS h FROM g),
+         |dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+         |p AS (SELECT gh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+         |      FROM gh JOIN dup USING (h) GROUP BY 1)
+         |SELECT tk.doc_id, CAST(greatest(len(t) - ${n - 1}, 0) AS BIGINT) AS n_pos,
+         |  COALESCE(p.n_dup, 0) AS n_dup,
+         |  CAST(floor(COALESCE(p.n_dup, 0) * 10000.0 /
+         |    greatest(greatest(len(t) - ${n - 1}, 0), 1)) AS BIGINT) AS dup_ngram_frac_bp
+         |FROM tk LEFT JOIN p ON tk.doc_id = p.doc_id""".stripMargin
     },
 
     "q30_token_counts" ->

@@ -84,4 +84,46 @@ object Repetition {
         floor(topRunChars(col("grams")) * 10000.0 /
           greatest(length(col("text")), lit(1))).as("top_bigram_char_frac_bp"))
   }
+
+  val DefaultDupN = 10
+
+  /** CORPUS-LEVEL duplicated n-gram fraction (the RefinedWeb/FineWeb
+    * `dup_ngram` family): for each doc, the fraction of its token n-gram
+    * POSITIONS whose gram occurs >= `minCount` times across the WHOLE
+    * corpus (within-doc repeats count toward the total — a doc repeating
+    * its own boilerplate flags itself). The signal the within-row
+    * [[signals]] cannot see: text duplicated across documents at
+    * sub-document granularity, the tail exact-substring dedup misses.
+    *
+    * Scale shape: grams are hashed to 64-bit fnv MAP-SIDE, so every
+    * exchange carries (doc_id, long) — never gram strings (a 10-token gram
+    * is ~70 bytes; the hash is 8). Three exchanges, the honest minimum for
+    * any corpus-relative signal: the gram-hash groupBy (map-side partial
+    * count), the hash join of positions against the duplicated set (AQE
+    * broadcasts it when the duplicated vocabulary fits), and the doc_id
+    * aggregation of surviving positions. A 64-bit collision marks a
+    * position duplicated spuriously (~n²/2^64 — irrelevant at 10^12 grams
+    * for a per-doc FRACTION in basis points, and the DuckDB oracle computes
+    * the identical hash, so parity is exact regardless).
+    */
+  def corpusDupNgrams(docs: DataFrame, n: Int = DefaultDupN,
+      minCount: Long = 2L): DataFrame = {
+    val pos = docs.select(col("doc_id"),
+      explode(Decontaminate.ngrams(col("text"), n)).as("gram"))
+      .select(col("doc_id"), Exprs.fnv1a64(col("gram")).as("h"))
+    val dup = pos.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("h"))
+    val perDoc = pos
+      .join(dup, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    docs.select(col("doc_id"),
+        greatest(size(TextAnalysis.tokens(translate(col("text"),
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")))
+          - (n - 1), lit(0)).cast("long").as("n_pos"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pos"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        floor(coalesce(col("n_dup"), lit(0L)) * 10000.0 /
+          greatest(col("n_pos"), lit(1L))).as("dup_ngram_frac_bp"))
+  }
 }

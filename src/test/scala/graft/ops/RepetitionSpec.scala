@@ -57,4 +57,37 @@ class RepetitionSpec extends AnyFunSuite {
 
   private def floorBp(num: Long, den: Long): Long =
     math.floor(num * 10000.0 / den).toLong
+
+  test("corpusDupNgrams: cross-doc and within-doc repeats flag positions; short docs zero") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ") // exactly one 10-gram
+    val docs = Seq(
+      (1L, shared),                       // 1 position, duplicated via doc 2
+      (2L, shared + " tail"),             // 2 positions, first duplicated
+      (3L, s"$shared extra $shared"),     // self-repeat: both copies + bridges
+      (4L, "too short to have any"),      // < 10 tokens -> 0 positions
+      (5L, (1 to 12).map(i => s"u$i").mkString(" "))) // 3 unique positions
+      .toDF("doc_id", "text")
+    val out = Repetition.corpusDupNgrams(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((1L, 1L, 10000L)))
+    assert(out(2L) == ((2L, 1L, 5000L)))
+    // doc 3: 21 tokens -> 12 positions; the two clean copies of the shared
+    // gram repeat (within-doc + cross-doc); the 10 bridge grams through
+    // "extra" are unique
+    assert(out(3L) == ((12L, 2L, floorBp(2, 12))))
+    assert(out(4L) == ((0L, 0L, 0L)))
+    assert(out(5L) == ((3L, 0L, 0L)))
+    assert(out.size == 5)
+  }
+
+  test("corpusDupNgrams: minCount raises the duplication bar") {
+    import spark.implicits._
+    val g = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, g), (2L, g), (3L, g)).toDF("doc_id", "text")
+    val strict = Repetition.corpusDupNgrams(docs, minCount = 4L).collect()
+    assert(strict.forall(_.getLong(2) == 0L), "3 copies under minCount=4 must not flag")
+    val loose = Repetition.corpusDupNgrams(docs, minCount = 3L).collect()
+    assert(loose.forall(_.getLong(2) == 1L))
+  }
 }
