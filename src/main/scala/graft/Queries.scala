@@ -229,6 +229,11 @@ object Queries {
     "q60_corpus_shuffle" -> ((s, dir) => Splits.deterministicShuffle(docsOf(s, dir))),
 
     "q61_dup_ngrams" -> ((s, dir) => Repetition.corpusDupNgrams(docsOf(s, dir))),
+
+    "q62_source_mixture" -> ((s, dir) => Mixture.sourceMixture(docsOf(s, dir))),
+
+    "q63_props_metrics" -> ((s, dir) =>
+      Events.propsMetrics(s.read.parquet(s"$dir/events.parquet"))),
     "q28_lang_id" -> ((s, dir) => TextAnalysis.langId(docsOf(s, dir))),
     "q29_quality" -> ((s, dir) => TextAnalysis.quality(docsOf(s, dir))),
     "q30_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docsOf(s, dir))),
@@ -964,6 +969,29 @@ object Queries {
          |    greatest(greatest(len(t) - ${n - 1}, 0), 1)) AS BIGINT) AS dup_ngram_frac_bp
          |FROM tk LEFT JOIN p ON tk.doc_id = p.doc_id""".stripMargin
     },
+
+    // the distinct-content count reuses the A1 exact-dedup key (HUGEINT
+    // fnv of normalized text) so "duplicate" means the same thing here as
+    // in the dedup surface; basis points floor'd from the same double
+    // expression as the Spark side
+    "q62_source_mixture" ->
+      (s"""WITH t AS (SELECT source, CAST(len(${tokens("text")}) AS BIGINT) AS ntok,
+         |            ${OracleHash.fnvOf(norm("text"))} AS h FROM documents),
+         |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct FROM t GROUP BY 1),
+         |m AS (SELECT MIN(n_tokens) AS min_tokens FROM s)
+         |SELECT source, n_docs, n_tokens, n_distinct,
+         |  CAST(floor((n_docs - n_distinct) * 10000.0 / n_docs) AS BIGINT) AS dup_frac_bp,
+         |  CAST(floor(min_tokens * 10000.0 / n_tokens) AS BIGINT) AS rate_bp
+         |FROM s, m""").stripMargin,
+
+    "q63_props_metrics" ->
+      ("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+         |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+         |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+         |FROM events GROUP BY event_type""").stripMargin,
 
     "q30_token_counts" ->
       (s"""SELECT doc_id,

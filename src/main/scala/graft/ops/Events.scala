@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Windowed ingestion metrics over the `events` stream table — the
   * pipeline-observability member of the metrics family (north_star: "…
@@ -131,5 +132,31 @@ object Events {
         approx_count_distinct(col("user_id")).as("n_users_approx"))
       .select(unix_timestamp(col("w.start")).as("hour_ts"), col("event_type"),
         col("n_events"), col("value_cents"), col("n_users_approx"))
+  }
+
+  /** Schema-on-read over the semi-structured `props` JSON column plus the
+    * per-type rollup: parse `$.k` as a long, then count/sum/min/max per
+    * event_type — the typed-projection step every event pipeline runs over
+    * its freeform-properties column (no reference analogue; graft-added
+    * §2.9).
+    *
+    * `from_json` is PERMISSIVE: malformed JSON (or a missing/non-numeric
+    * `k`) yields a null struct/field, so bad rows still count toward `n`
+    * but drop out of the k aggregates — a poisoned record degrades one
+    * field, never the job (pinned by EventsSpec). Scale shape: the parse
+    * is a map-side projection next to the scan; the rollup is ONE
+    * event_type-keyed exchange carrying map-side partial rows. At 100 TB
+    * the only caveat is that `props` must be column-pruned INTO the scan
+    * (it is — ReadSchema carries just event_type + props here), because a
+    * freeform JSON column is routinely the widest thing in an event table.
+    */
+  def propsMetrics(events: DataFrame): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    events
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
   }
 }

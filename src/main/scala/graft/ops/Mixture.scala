@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus mixture surface over `documents.source`: per-source composition
+  * stats (docs, tokens, exact-dup fraction) and the balanced downsampling
+  * rate that equalizes token mass across sources — the "data mixing" step
+  * (Pile/Dolma-style source weighting) that sits between dedup and
+  * sequence packing in an LLM data pipeline. (The reference is a
+  * single-corpus batch tool — cmd/pipeline/main.go:90-131 — with no
+  * source/mixture surface; graft-added §2.9.)
+  *
+  * Scale shape: ONE source-keyed exchange with map-side partial
+  * aggregation (sources number in the dozens-to-thousands, so the exchange
+  * carries #partitions × #sources partial rows, not the corpus); the
+  * distinct-content count is Spark's standard two-phase partial-distinct
+  * aggregate over the 8-byte normalized-content hash — text never
+  * shuffles. The min-token scalar is a one-row aggregate joined back by
+  * explicit broadcast. Ratios are integer basis points, floor'd from the
+  * same double expression on both engines, so the DuckDB oracle compares
+  * exactly.
+  */
+object Mixture {
+
+  /** Per-source mixture report: `n_docs`, `n_tokens` (whitespace tokens),
+    * `n_distinct` (distinct docs by fnv1a64 of normalized text — the exact
+    * dedup key of the A1 surface, so "duplicate" means the same thing here
+    * as in the dedup kernels), `dup_frac_bp`, and `rate_bp` — the balanced
+    * mixture rate floor(min_source_tokens * 10000 / n_tokens), i.e. the
+    * per-source downsampling factor that equalizes token mass across
+    * sources. Apply it deterministically with [[Splits.bucketOf]] on
+    * doc_id (rate scaled to the bucket count), exactly as
+    * [[Splits.stratifiedSample]] applies per-stratum rates.
+    */
+  def sourceMixture(docs: DataFrame): DataFrame = {
+    val stats = docs
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"),
+        Exprs.fnv1a64(Exprs.normCol(col("text"))).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        countDistinct(col("h")).as("n_distinct"))
+    val minTok = stats.agg(min(col("n_tokens")).as("min_tokens"))
+    stats.crossJoin(broadcast(minTok))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_distinct"),
+        floor((col("n_docs") - col("n_distinct")) * 10000.0 / col("n_docs"))
+          .as("dup_frac_bp"),
+        floor(col("min_tokens") * 10000.0 / col("n_tokens")).as("rate_bp"))
+  }
+}

@@ -97,4 +97,23 @@ class EventsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("out_h") == r.getAs[Long]("height"))
     }
   }
+
+  test("propsMetrics: typed JSON projection; malformed/missing k degrades to null, not failure") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0), 1L, "a", 1.0, """{"k": 10}"""),
+      (2L, ts(1), 1L, "a", 1.0, """{"k": 32}"""),
+      (3L, ts(2), 2L, "a", 1.0, """not json at all"""), // malformed -> null k
+      (4L, ts(3), 2L, "b", 1.0, """{"other": 5}"""),    // well-formed, no k
+      (5L, ts(4), 3L, "b", 1.0, """{"k": -7}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.propsMetrics(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    // "a": 3 events (malformed row still counts), k aggregates over {10, 32}
+    assert(got("a") == ((3L, Some(42L), Some(10L))), got.toString)
+    // "b": 2 events, k aggregates over {-7} alone (missing k is null)
+    assert(got("b") == ((2L, Some(-7L), Some(-7L))), got.toString)
+  }
 }
