@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus mixture surface over `documents.source`: per-source composition
@@ -11,15 +12,18 @@ import org.apache.spark.sql.functions._
   * single-corpus batch tool — cmd/pipeline/main.go:90-131 — with no
   * source/mixture surface; graft-added §2.9.)
   *
-  * Scale shape: ONE source-keyed exchange with map-side partial
-  * aggregation (sources number in the dozens-to-thousands, so the exchange
-  * carries #partitions × #sources partial rows, not the corpus); the
-  * distinct-content count is Spark's standard two-phase partial-distinct
-  * aggregate over the 8-byte normalized-content hash — text never
-  * shuffles. The min-token scalar is a one-row aggregate joined back by
-  * explicit broadcast. Ratios are integer basis points, floor'd from the
-  * same double expression on both engines, so the DuckDB oracle compares
-  * exactly.
+  * Scale shape: the corpus is traversed ONCE — a (source, hash)-keyed
+  * partial-distinct exchange then the source-keyed final (Spark's standard
+  * two-phase count-distinct; both exchanges carry per-partition partial
+  * rows over the 8-byte normalized-content hash — text never shuffles).
+  * The min-token scalar comes from an unbounded window over the AGGREGATED
+  * rows (#sources of them — domain-bounded, the same documented exception
+  * as the q53 histogram window); the tempting `stats.agg(min).crossJoin
+  * (broadcast(...))` form instead plans a SECOND full aggregation subtree
+  * (DataFrame reuse is by plan, not by materialization), re-scanning and
+  * re-hashing the whole corpus for one scalar. Ratios are integer basis
+  * points, floor'd from the same double expression on both engines, so the
+  * DuckDB oracle compares exactly.
   */
 object Mixture {
 
@@ -42,11 +46,12 @@ object Mixture {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ntok")).as("n_tokens"),
         countDistinct(col("h")).as("n_distinct"))
-    val minTok = stats.agg(min(col("n_tokens")).as("min_tokens"))
-    stats.crossJoin(broadcast(minTok))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stats
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_distinct"),
         floor((col("n_docs") - col("n_distinct")) * 10000.0 / col("n_docs"))
           .as("dup_frac_bp"),
-        floor(col("min_tokens") * 10000.0 / col("n_tokens")).as("rate_bp"))
+        floor(min(col("n_tokens")).over(all) * 10000.0 / col("n_tokens"))
+          .as("rate_bp"))
   }
 }
