@@ -124,6 +124,16 @@ object Splits {
       Exprs.simhash64(nrm, k).as("sig"))
   }
 
+  /** Band-key explosion shared by the incremental screen and its streaming
+    * twin: one row per (doc, band) carrying the band's bit-slice of the
+    * signature (same banding as [[LshDedup.nearDupPairs]]).
+    */
+  private[graft] def bandedSigs(df: DataFrame, sigCol: String): DataFrame =
+    df.withColumn("band", explode(sequence(lit(0), lit(LshDedup.Bands - 1))))
+      .withColumn("band_key",
+        expr(s"shiftrightunsigned($sigCol, band * ${LshDedup.BandBits})")
+          .bitwiseAND(lit((1L << LshDedup.BandBits) - 1)))
+
   /** Incremental dedup screen: classify each INCOMING doc against an
     * existing BASE corpus as `exact` (identical normalized text — matched
     * to the minimum base doc_id), `near` (Hamming(simhash) <= threshold —
@@ -149,12 +159,7 @@ object Splits {
     val bs = sigTable(base, k).select(
       col("doc_id").as("base_id"), col("xhash").as("base_xhash"),
       col("sig").as("base_sig"))
-
-    def banded(df: DataFrame, sigCol: String): DataFrame =
-      df.withColumn("band", explode(sequence(lit(0), lit(LshDedup.Bands - 1))))
-        .withColumn("band_key",
-          expr(s"shiftrightunsigned($sigCol, band * ${LshDedup.BandBits})")
-            .bitwiseAND(lit((1L << LshDedup.BandBits) - 1)))
+    def banded(df: DataFrame, sigCol: String): DataFrame = bandedSigs(df, sigCol)
 
     // ONE candidate stream, classification folded into the aggregation
     // ordering: min(struct(not_exact, distance, base_id)) makes an exact
