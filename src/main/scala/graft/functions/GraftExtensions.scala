@@ -45,7 +45,18 @@ object GraftExtensions {
     (FunctionIdentifier("graft_normalize"),
       info("graft_normalize",
         "graft_normalize(str) - reference N1 normalize (lower, collapse runs, letter/digit filter, trim) in one fused pass"),
-      (exprs: Seq[Expression]) => NormalizeExpr(exprs.head)))
+      (exprs: Seq[Expression]) => NormalizeExpr(exprs.head)),
+    (FunctionIdentifier("rolling_hash"),
+      info("rolling_hash",
+        "rolling_hash(str) - h = (h*31 + codepoint) % 1000000007 over the string's codepoints (document fingerprint)"),
+      (exprs: Seq[Expression]) => RollingHashExpr(exprs.head)),
+    (FunctionIdentifier("float_dot"),
+      info("float_dot",
+        "float_dot(arr, arr) - dot product of two float arrays (the fused ANN re-rank kernel)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "float_dot(a, b) takes 2 arguments")
+        FloatDotExpr(exprs(0), exprs(1))
+      }))
 
   /** Register the graft SQL functions on an existing session (idempotent —
     * re-registration replaces the same builders).

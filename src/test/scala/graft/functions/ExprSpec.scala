@@ -120,13 +120,21 @@ class ExprSpec extends AnyFunSuite {
     GraftExtensions.register(spark)
     samples.toDF("s").createOrReplaceTempView("t")
     val rows = spark.sql(
-        "SELECT s, simhash64(s, 5) AS sig, fnv1a64(s) AS h, graft_normalize(s) AS n FROM t")
+        "SELECT s, simhash64(s, 5) AS sig, fnv1a64(s) AS h, graft_normalize(s) AS n, " +
+          "rolling_hash(s) AS rh FROM t")
       .collect()
     for (r <- rows) {
       assert(r.getLong(1) == Hashing.simhash64(r.getString(0), 5))
       assert(r.getLong(2) == Hashing.fnv1a64(r.getString(0)))
       assert(r.getString(3) == graft.kernel.TextKernel.normalize(r.getString(0)))
+      assert(r.getLong(4) == spark.range(1)
+        .select(Exprs.rollingHash(org.apache.spark.sql.functions.lit(r.getString(0))))
+        .head().getLong(0))
     }
+    val dot = spark.sql(
+      "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(4 AS FLOAT), CAST(0.5 AS FLOAT)))").head().getDouble(0)
+    assert(dot == 1.5 * 4 + 2 * 0.5, dot.toString)
   }
 
   test("expression stays inside whole-stage codegen") {
