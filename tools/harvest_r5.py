@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Summarize the round-5 scaling legs (BENCH/legs_r5.jsonl 8/32 hunt +
+BENCH/legs_r5_small.jsonl 2/8 below-ceiling pairs): per-side leg tables,
+clean legs (total_steal_sec < 25), best-pair and cleanest-pair raw
+efficiencies. Prints markdown for BENCH/BASELINE.md.
+"""
+import json, sys
+
+def load(path):
+    try:
+        return [json.loads(l) for l in open(path)]
+    except FileNotFoundError:
+        return []
+
+def side(ls, c):
+    return sorted([l for l in ls if l["cpus"] == c], key=lambda d: -d["docs_per_sec"])
+
+def fmt_attempts(sub):
+    return ", ".join(f"{l['docs_per_sec']:,.0f} ({l['total_steal_sec']:.0f}s)"
+                     for l in sub)
+
+def pair_eff(lo, hi, ratio):
+    return (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+
+def report(name, ls, a, b):
+    A, B = side(ls, a), side(ls, b)
+    if not A or not B:
+        print(f"{name}: missing a side ({len(A)} vs {len(B)})"); return
+    print(f"## {name}: local[{a}] n={len(A)}, local[{b}] n={len(B)}")
+    print(f"| parallelism | best docs/sec | all attempts (docs/sec, total steal during leg) |")
+    print(f"|---|---|---|")
+    print(f"| local[{a}]  | {A[0]['docs_per_sec']:,.0f} | {fmt_attempts(A)} |")
+    print(f"| local[{b}] | {B[0]['docs_per_sec']:,.0f} | {fmt_attempts(B)} |")
+    cleanA = [l for l in A if l["total_steal_sec"] < 25]
+    cleanB = [l for l in B if l["total_steal_sec"] < 25]
+    print(f"clean (<25 CPU-s steal): {a}-side {len(cleanA)}, {b}-side {len(cleanB)}")
+    r = b / a
+    print(f"best-pair raw eff: ({B[0]['docs_per_sec']:,.0f} / {A[0]['docs_per_sec']:,.0f}) / {r:.0f} = {pair_eff(A[0], B[0], r):.3f}"
+          f"  [steal {A[0]['total_steal_sec']:.0f}s / {B[0]['total_steal_sec']:.0f}s]")
+    qA = min(A, key=lambda d: d["total_steal_sec"])
+    qB = min(B, key=lambda d: d["total_steal_sec"])
+    print(f"cleanest-pair raw eff: ({qB['docs_per_sec']:,.0f} / {qA['docs_per_sec']:,.0f}) / {r:.0f} = {pair_eff(qA, qB, r):.3f}"
+          f"  [steal {qA['total_steal_sec']:.0f}s / {qB['total_steal_sec']:.0f}s]")
+    if cleanA and cleanB:
+        bA = max(cleanA, key=lambda d: d["docs_per_sec"])
+        bB = max(cleanB, key=lambda d: d["docs_per_sec"])
+        print(f"CLEAN-pair raw eff: ({bB['docs_per_sec']:,.0f} / {bA['docs_per_sec']:,.0f}) / {r:.0f} = {pair_eff(bA, bB, r):.3f}"
+              f"  [steal {bA['total_steal_sec']:.0f}s / {bB['total_steal_sec']:.0f}s]")
+    print()
+
+legs = load("BENCH/legs_r5.jsonl")
+small = load("BENCH/legs_r5_small.jsonl")
+shas = {l.get("git") for l in legs + small}
+print(f"builds: {shas}; workload: replicate=96 (480,000 docs, sf0.1), pipeline-only\n")
+report("8 -> 32 (the contested 4x pair)", legs, 8, 32)
+report("2 -> 8 (below the host's oversubscription ceiling)", small, 2, 8)
