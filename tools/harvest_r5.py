@@ -48,9 +48,46 @@ def report(name, ls, a, b):
               f"  [steal {bA['total_steal_sec']:.0f}s / {bB['total_steal_sec']:.0f}s]")
     print()
 
+def adjacent_pairs(name, ls, a, b, max_gap=1200):
+    """The collector alternates sides, so a leg and its nearest
+    opposite-side neighbour in time ran under (approximately) the same
+    co-tenant steal regime. Pair each local[b] leg with the nearest
+    local[a] leg within max_gap seconds and report the per-pair
+    efficiency distribution — a steal-robust complement to best-vs-best.
+    """
+    A = sorted([l for l in ls if l["cpus"] == a], key=lambda d: d["leg_ts"])
+    B = sorted([l for l in ls if l["cpus"] == b], key=lambda d: d["leg_ts"])
+    if not A or not B:
+        return
+    r = b / a
+    pairs = []
+    for hb in B:
+        la = min(A, key=lambda d: abs(d["leg_ts"] - hb["leg_ts"]))
+        gap = abs(la["leg_ts"] - hb["leg_ts"])
+        if gap <= max_gap:
+            pairs.append((pair_eff(la, hb, r), la, hb, gap))
+    if not pairs:
+        print(f"adjacent pairs ({name}): none within {max_gap}s"); return
+    effs = sorted(p[0] for p in pairs)
+    med = effs[len(effs) // 2]
+    calm = min(pairs, key=lambda p: p[1]["total_steal_sec"] + p[2]["total_steal_sec"])
+    print(f"adjacent-pair eff ({name}, n={len(pairs)}, gap<= {max_gap}s): "
+          f"median {med:.3f}, max {max(effs):.3f}, min {min(effs):.3f}")
+    print(f"  calmest adjacent pair: eff {calm[0]:.3f} "
+          f"[{a}-side {calm[1]['docs_per_sec']:,.0f} d/s steal {calm[1]['total_steal_sec']:.0f}s, "
+          f"{b}-side {calm[2]['docs_per_sec']:,.0f} d/s steal {calm[2]['total_steal_sec']:.0f}s, "
+          f"gap {calm[3]}s]")
+    top = sorted(pairs, key=lambda p: -p[0])[:5]
+    print("  top adjacent pairs: " + ", ".join(
+        f"{p[0]:.3f} (steal {p[1]['total_steal_sec']:.0f}/{p[2]['total_steal_sec']:.0f}s)"
+        for p in top))
+    print()
+
 legs = load("BENCH/legs_r5.jsonl")
 small = load("BENCH/legs_r5_small.jsonl")
 shas = {l.get("git") for l in legs + small}
 print(f"builds: {shas}; workload: replicate=96 (480,000 docs, sf0.1), pipeline-only\n")
 report("8 -> 32 (the contested 4x pair)", legs, 8, 32)
+adjacent_pairs("8->32", legs, 8, 32)
 report("2 -> 8 (below the host's oversubscription ceiling)", small, 2, 8)
+adjacent_pairs("2->8", small, 2, 8)
