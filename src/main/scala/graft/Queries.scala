@@ -234,6 +234,19 @@ object Queries {
 
     "q63_props_metrics" -> ((s, dir) =>
       Events.propsMetrics(s.read.parquet(s"$dir/events.parquet"))),
+
+    // head-domain cap: 5/7 of docs are remapped to one 'srchead'
+    // mega-source (7 is coprime with the synthetic source cycle, so every
+    // tail source keeps a decorrelated ~2/7 of its docs) — the derivation
+    // makes the cap exercise BOTH branches (srchead far over the cap, the
+    // 20 tail sources under it) and the head-skew shape the operator
+    // exists for. The operator itself takes any (doc_id, source) frame.
+    "q64_source_cap" -> ((s, dir) =>
+      Splits.sourceCap(
+        docsOf(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 7 < 5, lit("srchead"))
+            .otherwise(col("source")).as("source")),
+        k = 16)),
     "q28_lang_id" -> ((s, dir) => TextAnalysis.langId(docsOf(s, dir))),
     "q29_quality" -> ((s, dir) => TextAnalysis.quality(docsOf(s, dir))),
     "q30_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docsOf(s, dir))),
@@ -985,6 +998,21 @@ object Queries {
          |  CAST(floor((n_docs - n_distinct) * 10000.0 / n_docs) AS BIGINT) AS dup_frac_bp,
          |  CAST(floor(min_tokens * 10000.0 / n_tokens) AS BIGINT) AS rate_bp
          |FROM s, m""").stripMargin,
+
+    // the kept set and its rank are recomputed from the HUGEINT fnv made
+    // signed (Spark LongType order), doc_id tiebreak — same window, both
+    // engines; ROW_NUMBER is BIGINT in DuckDB, INT in Spark, hence the cast
+    "q64_source_cap" -> {
+      val h = OracleHash.toSigned(
+        OracleHash.fnvOf(s"CAST(doc_id AS VARCHAR) || '${ops.Splits.CapSalt}'"))
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 < 5 THEN 'srchead' ELSE source END AS source
+         |  FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rn
+         |  FROM d)
+         |SELECT doc_id, source, CAST(rn AS INT) AS cap_rank FROM r WHERE rn <= 16""".stripMargin
+    },
 
     "q63_props_metrics" ->
       ("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

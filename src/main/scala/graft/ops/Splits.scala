@@ -84,6 +84,39 @@ object Splits {
       .select(col("doc_id"), col("lang"), col("sample_key"), col("rate"))
   }
 
+  val CapSalt = "|cap|v1"
+
+  /** Per-source quota cap: keep at most `k` docs per `source`, chosen by
+    * content-addressed hash rank (fnv1a64 of doc_id + versioned salt,
+    * doc_id tiebreak) — the head-domain diversity cap a pretraining mix
+    * applies so a handful of giant crawl domains don't swamp the token
+    * budget. Hash rank (not file order) makes the kept subset unbiased,
+    * reproducible across runs, and STABLE UNDER RE-INGESTION: a source
+    * that grows only evicts the doc with the worst hash, it never
+    * reshuffles the survivors (the kept set is "the k smallest hashes",
+    * monotone under insertion).
+    *
+    * Scale shape: the deliberately plain `row_number <= k` filter is the
+    * scale-safe form on Spark 3.5+ — the optimizer rewrites it to
+    * WindowGroupLimit(Partial) BEFORE the exchange and (Final) after, so
+    * every map task pre-prunes to its local top-k per source and the
+    * shuffle carries at most k rows per (task, source) instead of the
+    * whole corpus (verified in the plan by SplitsSpec). Head-domain skew
+    * is therefore bounded at the exchange by k × maps, not by the
+    * domain's row count; the reduce side sees ≤ k × maps rows per source.
+    * Output keeps `cap_rank` so consumers can tighten k later without
+    * recomputing (`cap_rank <= k'` is a free post-filter for any k' ≤ k).
+    */
+  def sourceCap(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"per-source cap must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val key = Exprs.fnv1a64(concat(col("doc_id").cast("string"), lit(CapSalt)))
+    val w = Window.partitionBy(col("source")).orderBy(key.asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= k)
+  }
+
   val ShuffleSalt = "|shuffle|v1"
 
   /** Deterministic global shuffle: assign every doc a permutation position

@@ -52,6 +52,50 @@ class SplitsSpec extends AnyFunSuite {
     assert(kept.filter(col("lang") =!= "en").count() == other)
   }
 
+  test("sourceCap: min(n,k) per source, hash-minimal kept set, monotone under growth, group-limit plan") {
+    import spark.implicits._
+    // head source with 40 docs, two tail sources with 5 and 16 (= k) docs
+    val rows = (0L until 40L).map(i => (i, "head")) ++
+      (100L until 105L).map(i => (i, "tailA")) ++
+      (200L until 216L).map(i => (i, "tailB"))
+    val df = rows.toDF("doc_id", "source")
+    val k = 16
+    val kept = Splits.sourceCap(df, k)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("head" -> 16L, "tailA" -> 5L, "tailB" -> 16L), bySrc.toString)
+    assert(kept.filter(col("cap_rank") > k).count() == 0)
+
+    // the kept head docs are exactly the k smallest (hash, doc_id) keys —
+    // recompute the key independently and compare sets
+    val keyed = df.filter(col("source") === "head")
+      .select(col("doc_id"),
+        Exprs.fnv1a64(concat(col("doc_id").cast("string"), lit(Splits.CapSalt)))
+          .as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(k)
+    val expect = keyed.select("doc_id").as[Long].collect().toSet
+    val got = kept.filter(col("source") === "head")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+
+    // stability under re-ingestion: adding docs to head never reshuffles
+    // survivors — the new kept set is a subset of {old kept + new ids}
+    val grown = df.unionByName(Seq((500L, "head"), (501L, "head"))
+      .toDF("doc_id", "source"))
+    val got2 = Splits.sourceCap(grown, k).filter(col("source") === "head")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got2.subsetOf(expect ++ Set(500L, 501L)), (got2 -- expect).toString)
+    // determinism under different partitioning
+    val got3 = Splits.sourceCap(df.repartition(7), k)
+      .filter(col("source") === "head").select("doc_id").as[Long].collect().toSet
+    assert(got3 == expect)
+
+    // the scale contract: the rn<=k filter must compile to WindowGroupLimit
+    // (partial group limit BEFORE the exchange), not a post-window filter
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("incrementalNearDups: planted exact / near / novel classify correctly") {
     import spark.implicits._
     val base = Seq(
