@@ -235,6 +235,9 @@ object Queries {
     "q63_props_metrics" -> ((s, dir) =>
       Events.propsMetrics(s.read.parquet(s"$dir/events.parquet"))),
 
+    "q65_asof_join" -> ((s, dir) =>
+      Events.asofJoin(s.read.parquet(s"$dir/events.parquet"))),
+
     // head-domain cap: 5/7 of docs are remapped to one 'srchead'
     // mega-source (7 is coprime with the synthetic source cycle, so every
     // tail source keeps a decorrelated ~2/7 of its docs) — the derivation
@@ -998,6 +1001,32 @@ object Queries {
          |  CAST(floor((n_docs - n_distinct) * 10000.0 / n_docs) AS BIGINT) AS dup_frac_bp,
          |  CAST(floor(min_tokens * 10000.0 / n_tokens) AS BIGINT) AS rate_bp
          |FROM s, m""").stripMargin,
+
+    // the same union + running last_value(IGNORE NULLS) construction, same
+    // (ts, tag, event_id) total order — inclusive-at-equal-ts pinned by
+    // tag 0 < 1 on both engines; lag in integer microseconds
+    "q65_asof_join" ->
+      ("""WITH u AS (
+         |  SELECT user_id, ts, 0 AS tag, event_id,
+         |         CAST(NULL AS VARCHAR) AS event_type,
+         |         event_id AS b_id, value AS b_value, ts AS b_ts
+         |  FROM events WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT user_id, ts, 1 AS tag, event_id, event_type,
+         |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+         |         CAST(NULL AS TIMESTAMP)
+         |  FROM events WHERE event_type <> 'purchase'),
+         |w AS (
+         |  SELECT *,
+         |    LAST_VALUE(b_id IGNORE NULLS) OVER win AS asof_id,
+         |    LAST_VALUE(b_value IGNORE NULLS) OVER win AS asof_value,
+         |    LAST_VALUE(b_ts IGNORE NULLS) OVER win AS asof_ts
+         |  FROM u
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+         |                 ROWS UNBOUNDED PRECEDING))
+         |SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+         |  asof_id, asof_value, epoch_us(ts) - epoch_us(asof_ts) AS lag_us
+         |FROM w WHERE tag = 1""").stripMargin,
 
     // the kept set and its rank are recomputed from the HUGEINT fnv made
     // signed (Spark LongType order), doc_id tiebreak — same window, both

@@ -150,6 +150,54 @@ object Events {
     * (it is — ReadSchema carries just event_type + props here), because a
     * freeform JSON column is routinely the widest thing in an event table.
     */
+  /** As-of join: attach to every probe event the LATEST build-side event
+    * (the `buildType`, e.g. each user's most recent purchase) with
+    * build.ts <= probe.ts, per user — the classic point-in-time lookup
+    * Spark has no native operator for (feature stores, attribution,
+    * "state as of this moment" enrichment).
+    *
+    * Implementation is the sort-based union trick, NOT a range join: tag
+    * build rows 0 / probe rows 1, union, and take a running
+    * `last(ignoreNulls)` of the build payload over
+    * (partition user_id, order ts, tag, event_id, rows unbounded
+    * preceding..current). Every probe row then carries the build row most
+    * recently seen at or before it. Semantics are pinned by the sort key:
+    * tag 0 < 1 makes a build event AT the probe's exact timestamp count
+    * as "prior" (inclusive, matching DuckDB/kdb ASOF); event_id makes
+    * equal-ts build ties deterministic (latest id wins under last()).
+    *
+    * Scale shape: ONE user_id exchange + sort — no per-candidate row
+    * explosion (a range join materializes probe×build pairs per user
+    * before picking the max; this never materializes more than the union
+    * itself). Skew is bounded by a single user's event count. Lag is
+    * integer microseconds (no division, nothing to round).
+    */
+  def asofJoin(events: DataFrame, buildType: String = "purchase"): DataFrame = {
+    val build = events.filter(col("event_type") === buildType)
+      .select(col("user_id"), ts.as("ts"), lit(0).as("tag"), col("event_id"),
+        lit(null).cast("string").as("event_type"),
+        col("event_id").as("b_id"), col("value").as("b_value"),
+        ts.as("b_ts"))
+    val probe = events.filter(col("event_type") =!= buildType)
+      .select(col("user_id"), ts.as("ts"), lit(1).as("tag"), col("event_id"),
+        col("event_type"),
+        lit(null).cast("long").as("b_id"),
+        lit(null).cast("double").as("b_value"),
+        lit(null).cast("timestamp").as("b_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    build.unionByName(probe)
+      .withColumn("asof_id", last(col("b_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", last(col("b_value"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last(col("b_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        col("asof_id"), col("asof_value"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
+  }
+
   def propsMetrics(events: DataFrame): DataFrame = {
     val schema = StructType(Seq(StructField("k", LongType)))
     events

@@ -98,6 +98,52 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: inclusive at equal ts, latest-prior wins, no-prior is null, users isolated, one exchange") {
+    import spark.implicits._
+    // u1 purchases at 10:00 (id 100) and 20:00 (id 101); probes at 05:00
+    // (no prior -> null), 10:00 (EQUAL ts -> inclusive match 100), 15:00
+    // (-> 100), 25:00 (-> latest prior 101). u2 has no purchases at all;
+    // its probe must NOT see u1's builds.
+    val events = Seq(
+      (100L, ts(10), 1L, "purchase", 5.0),
+      (101L, ts(20), 1L, "purchase", 7.0),
+      (1L, ts(5), 1L, "click", 0.0),
+      (2L, ts(10), 1L, "view", 0.0),
+      (3L, ts(15), 1L, "click", 0.0),
+      (4L, ts(25), 1L, "error", 0.0),
+      (5L, ts(15), 2L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.asofJoin(events)
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (1L, -1L, -1L),                  // before any purchase
+      (2L, 100L, 0L),                  // equal-ts inclusive, zero lag
+      (3L, 100L, 5L * 60000000L),      // 5 min in micros
+      (4L, 101L, 5L * 60000000L),      // latest prior, not first
+      (5L, -1L, -1L)                   // other user: isolated
+    ), got.toSeq.toString)
+
+    // equal-ts build tie: two purchases at the same instant -> the larger
+    // event_id (last in the total order) wins deterministically
+    val tie = Seq(
+      (200L, ts(10), 1L, "purchase", 1.0),
+      (201L, ts(10), 1L, "purchase", 2.0),
+      (9L, ts(11), 1L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val t = Events.asofJoin(tie).collect()
+    assert(t.length == 1 && t(0).getLong(4) == 201L, t.mkString)
+
+    // scale contract: ONE exchange (the user_id hash partitioning), no
+    // join operator at all in the plan
+    val plan = Events.asofJoin(events).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("propsMetrics: typed JSON projection; malformed/missing k degrades to null, not failure") {
     import spark.implicits._
     val events = Seq(
