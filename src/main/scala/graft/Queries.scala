@@ -238,6 +238,9 @@ object Queries {
     "q65_asof_join" -> ((s, dir) =>
       Events.asofJoin(s.read.parquet(s"$dir/events.parquet"))),
 
+    "q66_range_join" -> ((s, dir) =>
+      Events.rangeJoin(s.read.parquet(s"$dir/events.parquet"))),
+
     // head-domain cap: 5/7 of docs are remapped to one 'srchead'
     // mega-source (7 is coprime with the synthetic source cycle, so every
     // tail source keeps a decorrelated ~2/7 of its docs) — the derivation
@@ -1027,6 +1030,17 @@ object Queries {
          |SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
          |  asof_id, asof_value, epoch_us(ts) - epoch_us(asof_ts) AS lag_us
          |FROM w WHERE tag = 1""").stripMargin,
+
+    // the oracle uses the PLAIN range predicate (BETWEEN on integer
+    // micros) — deliberately a different construction than the Spark
+    // bucketed equi-join, so the bucketing trick itself is under test
+    "q66_range_join" ->
+      ("""SELECT p.event_id AS probe_id, b.event_id AS build_id, p.user_id,
+         |  epoch_us(p.ts) - epoch_us(b.ts) AS delta_us
+         |FROM events p JOIN events b ON p.user_id = b.user_id
+         |WHERE p.event_type = 'click' AND b.event_type = 'purchase'
+         |  AND epoch_us(p.ts) >= epoch_us(b.ts)
+         |  AND epoch_us(p.ts) <= epoch_us(b.ts) + 3600000000""").stripMargin,
 
     // the kept set and its rank are recomputed from the HUGEINT fnv made
     // signed (Spark LongType order), doc_id tiebreak — same window, both

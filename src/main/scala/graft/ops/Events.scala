@@ -198,6 +198,44 @@ object Events {
         (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
   }
 
+  /** Range join (interval containment): every probe event paired with
+    * every build-side event of the same user whose attribution window
+    * [build.ts, build.ts + windowSec] contains it — e.g. clicks within an
+    * hour after each purchase. Genuinely many-to-many (overlapping windows
+    * both match), unlike [[asofJoin]]'s latest-one.
+    *
+    * Scale shape: a naive `ts BETWEEN` predicate plans as a nested-loop /
+    * cartesian per user — the textbook range-join blowup. Instead time is
+    * bucketed at EXACTLY the window width, so every interval covers
+    * exactly two buckets (k, k+1) and every probe lives in exactly one;
+    * exploding the build side to its two buckets turns the range join
+    * into a plain (user_id, bucket) EQUI-join + residual filter, with
+    * each qualifying pair meeting exactly once (no dedup needed). The
+    * plan is two scans, a 2x build explode, one shuffle per side, zero
+    * nested loops (asserted in EventsSpec). Bounds are inclusive on both
+    * ends, in integer microseconds — nothing to round, nothing to
+    * disagree on across engines.
+    */
+  def rangeJoin(events: DataFrame, buildType: String = "purchase",
+      probeType: String = "click", windowSec: Long = 3600): DataFrame = {
+    require(windowSec > 0, s"window must be positive, got $windowSec")
+    val w = windowSec * 1000000L
+    val bkt = (c: Column) => floor(c / w).cast("long")
+    val build = events.filter(col("event_type") === buildType)
+      .select(col("event_id").as("build_id"), col("user_id"),
+        unix_micros(ts).as("b_us"))
+      .withColumn("bucket",
+        explode(array(bkt(col("b_us")), bkt(col("b_us")) + 1)))
+    val probe = events.filter(col("event_type") === probeType)
+      .select(col("event_id").as("probe_id"), col("user_id"),
+        unix_micros(ts).as("p_us"))
+      .withColumn("bucket", bkt(col("p_us")))
+    probe.join(build, Seq("user_id", "bucket"))
+      .filter(col("p_us") >= col("b_us") && col("p_us") <= col("b_us") + w)
+      .select(col("probe_id"), col("build_id"), col("user_id"),
+        (col("p_us") - col("b_us")).as("delta_us"))
+  }
+
   def propsMetrics(events: DataFrame): DataFrame = {
     val schema = StructType(Seq(StructField("k", LongType)))
     events

@@ -144,6 +144,43 @@ class EventsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("rangeJoin: inclusive bounds, bucket-edge pairs found, overlap is many-to-many, no nested loop") {
+    import spark.implicits._
+    val hourUs = 3600000000L
+    // u1: purchase at 0:00 (id 100) and 0:30 (id 101 — windows overlap);
+    // clicks at 0:00 (boundary start), 0:45 (inside BOTH windows),
+    // exactly +1h after 100 (inclusive end), +1h1us after 101 (outside).
+    // u2: click inside u1's window times — must NOT match (isolation).
+    val afterHour = new Timestamp(ts(0).getTime + 3600000L)          // = 100 + 1h exactly
+    val outside = new Timestamp(ts(30).getTime + 3600000L + 1)       // 101 + 1h + 1ms
+    val events = Seq(
+      (100L, ts(0), 1L, "purchase", 1.0),
+      (101L, ts(30), 1L, "purchase", 1.0),
+      (1L, ts(0), 1L, "click", 0.0),
+      (2L, ts(45), 1L, "click", 0.0),
+      (3L, afterHour, 1L, "click", 0.0),
+      (4L, outside, 1L, "click", 0.0),
+      (5L, ts(45), 2L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.rangeJoin(events)
+      .select("probe_id", "build_id", "delta_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 100L, 0L),                       // at window start, delta 0
+      (2L, 100L, 45L * 60000000L),          // in both windows...
+      (2L, 101L, 15L * 60000000L),          // ...many-to-many
+      (3L, 100L, hourUs),                   // exactly +1h: inclusive end
+      (3L, 101L, 30L * 60000000L)
+      // click 4 (1ms past 101's window, 90min past 100's) and click 5
+      // (other user) match nothing
+    ), got.toString)
+
+    // plan: a (user_id, bucket) equi-join only — no nested loop, no cartesian
+    val plan = Events.rangeJoin(events).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(3000))
+  }
+
   test("propsMetrics: typed JSON projection; malformed/missing k degrades to null, not failure") {
     import spark.implicits._
     val events = Seq(
