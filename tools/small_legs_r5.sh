@@ -29,10 +29,12 @@ steal_rate() {
 
 side=2
 for leg in $(seq 1 $LEGS); do
+  while [ -f .bench_pause ]; do sleep 15; done
   for i in $(seq 1 30); do
     r=$(steal_rate)
     if [ "$r" -lt 100 ]; then break; fi
     echo "$(date +%H:%M:%S) steal $r jiffies/10s — waiting" >&2
+    while [ -f .bench_pause ]; do sleep 15; done
   done
   echo "$(date +%H:%M:%S) small leg $leg: local[$side]" >&2
   touch BENCH/.leg_running
