@@ -83,11 +83,40 @@ def adjacent_pairs(name, ls, a, b, max_gap=1200):
         for p in top))
     print()
 
+def curve(all_legs):
+    """Same-build best-leg scaling curve across every parallelism measured,
+    with per-step efficiency (speedup / core ratio)."""
+    best = {}
+    for l in all_legs:
+        c = l["cpus"]
+        if c not in best or l["docs_per_sec"] > best[c]["docs_per_sec"]:
+            best[c] = l
+    cs = sorted(best)
+    if len(cs) < 3:
+        return
+    print("## Same-build scaling curve (best leg per parallelism)")
+    print("| cores | best docs/sec | leg steal | step | step eff |")
+    print("|---|---|---|---|---|")
+    prev = None
+    for c in cs:
+        l = best[c]
+        if prev is None:
+            step, eff = "—", "—"
+        else:
+            r = c / prev
+            eff = f"{(l['docs_per_sec'] / best[prev]['docs_per_sec']) / r:.3f}"
+            step = f"{prev}->{c}"
+        print(f"| {c} | {l['docs_per_sec']:,.0f} | {l['total_steal_sec']:.0f}s | {step} | {eff} |")
+        prev = c
+    print()
+
 legs = load("BENCH/legs_r5.jsonl")
 small = load("BENCH/legs_r5_small.jsonl")
-shas = {l.get("git") for l in legs + small}
+mid = load("BENCH/legs_r5_mid.jsonl")
+shas = {l.get("git") for l in legs + small + mid}
 print(f"builds: {shas}; workload: replicate=96 (480,000 docs, sf0.1), pipeline-only\n")
 report("8 -> 32 (the contested 4x pair)", legs, 8, 32)
 adjacent_pairs("8->32", legs, 8, 32)
 report("2 -> 8 (below the host's oversubscription ceiling)", small, 2, 8)
 adjacent_pairs("2->8", small, 2, 8)
+curve(legs + small + mid)
