@@ -253,6 +253,17 @@ object Queries {
           when(col("doc_id") % 7 < 5, lit("srchead"))
             .otherwise(col("source")).as("source")),
         k = 16)),
+
+    "q67_salted_join" -> ((s, dir) => Skew.enrichBySource(docsOf(s, dir))),
+
+    "q68_importance_resample" -> ((s, dir) =>
+      Splits.importanceResample(docsOf(s, dir))),
+
+    "q69_kmeans" -> ((s, dir) =>
+      Cluster.kmeans(Embed.docEmbeddings(docsOf(s, dir)))),
+
+    "q70_semdedup" -> ((s, dir) =>
+      Cluster.semDedup(Embed.docEmbeddings(docsOf(s, dir)))),
     "q28_lang_id" -> ((s, dir) => TextAnalysis.langId(docsOf(s, dir))),
     "q29_quality" -> ((s, dir) => TextAnalysis.quality(docsOf(s, dir))),
     "q30_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docsOf(s, dir))),
@@ -367,6 +378,56 @@ object Queries {
        |  SELECT x AS doc_id, y AS nb FROM edges
        |  UNION
        |  SELECT r.doc_id, e.y AS nb FROM reach r JOIN edges e ON e.x = r.nb)""".stripMargin
+
+  /** CTE chain recomputing [[ops.Cluster]]'s deterministic fixed-point
+    * k-means INDEPENDENTLY in DuckDB: derived feature-hash embeddings in
+    * long format (`el(doc_id, d, x)` — same construction as the q48
+    * oracle), lowest-id init, `iters` assignment rounds with exact-HUGEINT
+    * distances and floor fixed-point centroid updates (empty clusters
+    * carry the previous centroid via COALESCE). Ends after `ka{iters}`
+    * with NO trailing comma; callers append `, more AS (...)` CTEs or the
+    * final SELECT.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int, shift: Long): String = {
+    val el =
+      s"""WITH kt AS (SELECT doc_id, unnest(${tokens(asciiLower("text"))}) AS t FROM documents),
+         |kh1 AS (SELECT doc_id, CAST(${OracleHash.fnvOf("t")} AS VARCHAR) AS s1 FROM kt),
+         |kh AS (SELECT doc_id, ${OracleHash.fnvOf("s1")} AS h FROM kh1),
+         |kc AS (SELECT doc_id,
+         |        CAST((CAST(h AS UBIGINT) >> 32) % $dim AS BIGINT) AS d,
+         |        CASE WHEN (CAST(h AS UBIGINT) >> 40) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+         |      FROM kh),
+         |ks AS (SELECT doc_id, d, SUM(sgn) AS v FROM kc GROUP BY 1, 2),
+         |kg AS (SELECT dd.doc_id, CAST(r.i AS BIGINT) AS d FROM documents dd, range(0, $dim) r(i)),
+         |el AS (SELECT kg.doc_id, kg.d, CAST(COALESCE(ks.v, 0) AS BIGINT) AS x
+         |       FROM kg LEFT JOIN ks ON ks.doc_id = kg.doc_id AND ks.d = kg.d),
+         |ki AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS cluster
+         |       FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $k)),
+         |kc0 AS (SELECT ki.cluster, el.d, el.x * $shift AS cf
+         |        FROM ki JOIN el ON el.doc_id = ki.doc_id),""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val assign =
+        s"""ka$i AS (SELECT doc_id, cluster, d2 FROM (
+           |  SELECT doc_id, cluster, d2,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY d2, cluster) AS rn
+           |  FROM (SELECT el.doc_id, c.cluster,
+           |          CAST(SUM((el.x * $shift - c.cf) * (el.x * $shift - c.cf)) AS BIGINT) AS d2
+           |        FROM el JOIN kc${i - 1} c ON el.d = c.d
+           |        GROUP BY el.doc_id, c.cluster))
+           |  WHERE rn = 1)""".stripMargin
+      val update =
+        if (i == iters) ""
+        else
+          s""",
+             |km$i AS (SELECT a.cluster, el.d, SUM(el.x) AS s, COUNT(*) AS n
+             |        FROM ka$i a JOIN el ON el.doc_id = a.doc_id GROUP BY 1, 2),
+             |kc$i AS (SELECT p.cluster, p.d,
+             |          COALESCE(CAST(floor(CAST(m.s AS DOUBLE) * $shift / m.n) AS BIGINT), p.cf) AS cf
+             |        FROM kc${i - 1} p LEFT JOIN km$i m ON m.cluster = p.cluster AND m.d = p.d),""".stripMargin
+      assign + update
+    }.mkString("\n")
+    el + "\n" + rounds
+  }
 
   val oracle: Map[String, String] = Map(
     "q01_n1_normalize" ->
@@ -1056,6 +1117,55 @@ object Queries {
          |  FROM d)
          |SELECT doc_id, source, CAST(rn AS INT) AS cap_rank FROM r WHERE rn <= 16""".stripMargin
     },
+
+    // the oracle runs the UNSALTED join — the salted plan must be
+    // result-identical to the plain inner join it replaces
+    "q67_salted_join" ->
+      ("""WITH s AS (SELECT source, COUNT(*) AS src_docs,
+         |           CAST(SUM(n_chars) AS BIGINT) AS src_chars
+         |           FROM documents GROUP BY 1)
+         |SELECT d.doc_id, d.source, s.src_docs, s.src_chars
+         |FROM documents d JOIN s ON d.source = s.source""").stripMargin,
+
+    // rate and coin recomputed in exact integers: stopword ratio (q29's
+    // construction) + the HUGEINT fnv modulus (== Spark's low-bits mask,
+    // power-of-two buckets)
+    "q68_importance_resample" -> {
+      val stopBp = s"CAST(floor(${stopHits(tokens("lower(text)"), TextAnalysis.EnStop)}" +
+        s" * 10000.0 / greatest(len(${tokens("text")}), 1)) AS BIGINT)"
+      val key = s"(${OracleHash.fnvOf(s"CAST(doc_id AS VARCHAR) || '${Splits.ResampleSalt}'")} % ${Splits.SampleBuckets})"
+      s"""WITH b AS (SELECT doc_id, $stopBp AS stopword_ratio_bp,
+         |           CAST($key AS BIGINT) AS sample_key FROM documents)
+         |SELECT doc_id, stopword_ratio_bp,
+         |  CAST(least(${Splits.SampleBuckets}, ${Splits.ResampleFloor} + stopword_ratio_bp) AS BIGINT) AS rate,
+         |  sample_key
+         |FROM b
+         |WHERE sample_key < least(${Splits.SampleBuckets}, ${Splits.ResampleFloor} + stopword_ratio_bp)""".stripMargin
+    },
+
+    "q69_kmeans" ->
+      (kmeansCtes(Cluster.K, Cluster.Iters, Embed.Dim, Cluster.Shift) +
+        s"\nSELECT doc_id, cluster, d2 FROM ka${Cluster.Iters}"),
+
+    "q70_semdedup" ->
+      (kmeansCtes(Cluster.K, Cluster.Iters, Embed.Dim, Cluster.Shift) +
+        s""",
+           |kn AS (SELECT doc_id, SUM(x * x) AS n2 FROM el GROUP BY 1),
+           |kp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |       FROM ka${Cluster.Iters} a JOIN ka${Cluster.Iters} b
+           |         ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
+           |kd AS (SELECT p.id_a, p.id_b, SUM(ea.x * eb.x) AS dot
+           |       FROM kp p
+           |       JOIN el ea ON ea.doc_id = p.id_a
+           |       JOIN el eb ON eb.doc_id = p.id_b AND eb.d = ea.d
+           |       GROUP BY 1, 2),
+           |kdrop AS (SELECT DISTINCT kd.id_b FROM kd
+           |          JOIN kn na ON na.doc_id = kd.id_a
+           |          JOIN kn nb ON nb.doc_id = kd.id_b
+           |          WHERE na.n2 > 0 AND nb.n2 > 0
+           |            AND CAST(floor(CAST(kd.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) * 10000) AS BIGINT) >= ${Cluster.SemDedupBp})
+           |SELECT a.doc_id, a.cluster FROM ka${Cluster.Iters} a
+           |LEFT JOIN kdrop k ON k.id_b = a.doc_id WHERE k.id_b IS NULL""".stripMargin),
 
     "q63_props_metrics" ->
       ("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

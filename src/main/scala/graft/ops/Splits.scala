@@ -84,6 +84,34 @@ object Splits {
       .select(col("doc_id"), col("lang"), col("sample_key"), col("rate"))
   }
 
+  val ResampleSalt = "|resample|v1"
+  /** Keep-probability floor (out of [[SampleBuckets]]): even the
+    * lowest-quality stratum keeps 2048/16384 = 12.5% — the DCLM-style
+    * guard against zeroing out whole registers of text.
+    */
+  val ResampleFloor = 2048L
+
+  /** Quality-weighted importance resampling: keep a doc with probability
+    * monotone in its quality signal (here the stopword ratio from
+    * [[TextAnalysis.quality]] — the same natural-language-ness proxy the
+    * published mixes weight by), via the content-addressed coin
+    * [[bucketOf]] so the kept set is reproducible and retry-stable.
+    * rate = min(SampleBuckets, ResampleFloor + stopword_ratio_bp): keep
+    * probability ramps 12.5% -> 100% linearly in the signal, all in exact
+    * integer arithmetic (the oracle recomputes rate and coin bit-for-bit).
+    *
+    * Scale shape: map-only — the quality signal, the rate, and the coin
+    * are all computed inline next to the scan; the filter pushes into the
+    * same stage. Zero exchanges at any corpus size.
+    */
+  def importanceResample(docs: DataFrame): DataFrame =
+    TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("stopword_ratio_bp"))
+      .withColumn("rate",
+        least(lit(SampleBuckets.toLong), lit(ResampleFloor) + col("stopword_ratio_bp")))
+      .withColumn("sample_key", bucketOf(col("doc_id"), ResampleSalt, SampleBuckets))
+      .filter(col("sample_key") < col("rate"))
+
   val CapSalt = "|cap|v1"
 
   /** Per-source quota cap: keep at most `k` docs per `source`, chosen by
