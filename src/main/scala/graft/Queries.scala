@@ -226,6 +226,10 @@ object Queries {
 
     "q59_unigram_score" -> ((s, dir) => Vocab.unigramScore(docsOf(s, dir))),
 
+    "q71_bpe_pairs" -> ((s, dir) => Vocab.bpePairCounts(docsOf(s, dir))),
+
+    "q72_apply_mixture" -> ((s, dir) => Mixture.applyMixture(docsOf(s, dir))),
+
     "q60_corpus_shuffle" -> ((s, dir) => Splits.deterministicShuffle(docsOf(s, dir))),
 
     "q61_dup_ngrams" -> ((s, dir) => Repetition.corpusDupNgrams(docsOf(s, dir))),
@@ -1007,6 +1011,17 @@ object Queries {
          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
          |FROM tk GROUP BY token HAVING COUNT(*) >= 2""").stripMargin,
 
+    // pairs expanded over DISTINCT words weighted by word frequency (the
+    // BPE-trainer shape); substring is 1-indexed character semantics on
+    // both engines, single-char words filtered before expansion
+    "q71_bpe_pairs" ->
+      (s"""WITH tk AS (SELECT unnest(${tokens(asciiLower("text"))}) AS w FROM documents),
+         |wc AS (SELECT w, COUNT(*) AS wf FROM tk GROUP BY 1 HAVING length(w) >= 2),
+         |pr AS (SELECT wf, unnest(list_transform(range(1, length(w)),
+         |                i -> substring(w, CAST(i AS INT), 2))) AS pair FROM wc)
+         |SELECT pair, CAST(SUM(wf) AS BIGINT) AS n
+         |FROM pr GROUP BY pair HAVING SUM(wf) >= 2""").stripMargin,
+
     // floor(log2(tf)) as length(bin(tf))-1 — exact integer bit arithmetic
     // on both engines (float log2 would round differently)
     "q59_unigram_score" ->
@@ -1065,6 +1080,21 @@ object Queries {
          |  CAST(floor((n_docs - n_distinct) * 10000.0 / n_docs) AS BIGINT) AS dup_frac_bp,
          |  CAST(floor(min_tokens * 10000.0 / n_tokens) AS BIGINT) AS rate_bp
          |FROM s, m""").stripMargin,
+
+    // q62's rate table applied: keep iff coin·10000 < rate_bp·buckets —
+    // exact integer cross-multiplication, no scaled-rate rounding
+    "q72_apply_mixture" -> {
+      val coin = s"(${OracleHash.fnvOf(s"CAST(doc_id AS VARCHAR) || '${Mixture.MixSalt}'")} % ${Splits.SampleBuckets})"
+      s"""WITH t AS (SELECT source, CAST(len(${tokens("text")}) AS BIGINT) AS ntok,
+         |            ${OracleHash.fnvOf(norm("text"))} AS h FROM documents),
+         |s AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+         |m AS (SELECT MIN(n_tokens) AS min_tokens FROM s),
+         |r AS (SELECT source, CAST(floor(min_tokens * 10000.0 / n_tokens) AS BIGINT) AS rate_bp FROM s, m),
+         |d AS (SELECT doc_id, source, CAST($coin AS BIGINT) AS coin FROM documents)
+         |SELECT d.doc_id, d.source, d.coin, r.rate_bp
+         |FROM d JOIN r ON d.source = r.source
+         |WHERE d.coin * 10000 < r.rate_bp * ${Splits.SampleBuckets}""".stripMargin
+    },
 
     // the same union + running last_value(IGNORE NULLS) construction, same
     // (ts, tag, event_id) total order — inclusive-at-equal-ts pinned by

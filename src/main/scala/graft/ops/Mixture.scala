@@ -54,4 +54,31 @@ object Mixture {
         floor(min(col("n_tokens")).over(all) * 10000.0 / col("n_tokens"))
           .as("rate_bp"))
   }
+
+  val MixSalt = "|mix|v1"
+
+  /** Apply the mixture: keep each doc with its source's balanced rate via
+    * the content-addressed coin — the materialization step that turns the
+    * [[sourceMixture]] REPORT into the actual token-balanced corpus.
+    * The keep test cross-multiplies exact integers (coin/buckets <
+    * rate_bp/10000 ⟺ coin·10000 < rate_bp·buckets): no scaled-rate
+    * rounding choice to disagree on across engines.
+    *
+    * Scale shape: the rate table is #sources rows — broadcast (explicitly;
+    * it is derived from an aggregation, so letting AQE discover its size
+    * costs a shuffle first), making the whole apply a map-side join +
+    * filter over one corpus scan. Pass a precomputed `mixture` to skip
+    * the stats pass entirely (the report is usually computed once and
+    * reviewed before being applied).
+    */
+  def applyMixture(docs: DataFrame, mixture: Option[DataFrame] = None): DataFrame = {
+    val rates = mixture.getOrElse(sourceMixture(docs))
+      .select(col("source"), col("rate_bp"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("coin", Splits.bucketOf(col("doc_id"), MixSalt, Splits.SampleBuckets))
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("coin") * lit(10000L) <
+        col("rate_bp") * lit(Splits.SampleBuckets.toLong))
+      .select(col("doc_id"), col("source"), col("coin"), col("rate_bp"))
+  }
 }

@@ -48,6 +48,36 @@ object Vocab {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .filter(col("tf") >= minTf)
 
+  /** Adjacent character-pair counts over the corpus, weighted by word
+    * frequency — the first merge-candidate table a BPE tokenizer trainer
+    * computes (Sennrich et al. 2016: the merge chosen is the argmax of
+    * exactly this table).
+    *
+    * Scale shape — the classic BPE-trainer optimization, distributed:
+    * count DISTINCT WORDS first (one token-keyed exchange with map-side
+    * partials, one row per distinct word), THEN expand each distinct
+    * word's pairs once and weight by its frequency (second exchange keyed
+    * by the pair, again partial-aggregated). At 100 TB the pair expansion
+    * runs over the vocabulary (millions), not the corpus (trillions of
+    * occurrences) — expanding pairs per occurrence would shuffle 2-char
+    * strings per token instead.
+    *
+    * Pair splitting is CHARACTER-based substring (1-indexed, identical
+    * semantics in Spark and DuckDB, multibyte-safe); single-char words
+    * contribute nothing and are filtered BEFORE the expansion (Spark's
+    * sequence(1, 0) would generate a descending sequence, not empty).
+    */
+  def bpePairCounts(docs: DataFrame, minCount: Long = 2L): DataFrame =
+    docs
+      .select(explode(asciiTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      .filter(length(col("w")) >= 2)
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wf")).as("n"))
+      .filter(col("n") >= minCount)
+
   /** floor(log2(n)) for n >= 1 as exact integer bit arithmetic. */
   def log2Floor(n: Column): Column = (length(bin(n)) - 1).cast("long")
 

@@ -44,4 +44,22 @@ class MixtureSpec extends AnyFunSuite {
     val b = Mixture.sourceMixture(docs.repartition(7)).collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("applyMixture: kept iff coin*10000 < rate*buckets; min-token source keeps all") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Mixture.applyMixture(docs)
+    val bad = out.filter(col("coin") * lit(10000L) >=
+      col("rate_bp") * lit(Splits.SampleBuckets.toLong)).count()
+    assert(bad == 0)
+    // the min-token source has rate_bp = 10000 -> every coin qualifies
+    val rates = Mixture.sourceMixture(docs).select(col("source"), col("rate_bp"))
+    val minSrc = rates.orderBy(col("rate_bp").desc).head()
+    assert(minSrc.getLong(1) == 10000L)
+    val full = docs.filter(col("source") === minSrc.getString(0)).count()
+    assert(out.filter(col("source") === minSrc.getString(0)).count() == full)
+    // precomputed-report path equals the self-computed path
+    val pre = Mixture.applyMixture(docs, Some(rates))
+    assert(out.exceptAll(pre).isEmpty && pre.exceptAll(out).isEmpty)
+  }
 }

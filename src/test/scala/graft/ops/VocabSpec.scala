@@ -43,6 +43,22 @@ class VocabSpec extends AnyFunSuite {
       3L -> ((3L, 13333L)), 4L -> ((0L, 0L))))
   }
 
+  test("bpePairCounts: pairs weighted by word frequency; 1-char words drop; char-based split") {
+    import spark.implicits._
+    // words: ab(x2), abc(x1), x(x1, dropped), héé(x1)
+    val docs = Seq(
+      (1L, "ab AB x"),
+      (2L, "abc héé")).toDF("doc_id", "text")
+    val out = Vocab.bpePairCounts(docs, minCount = 1L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ab: 2 (from "ab") + 1 (from "abc") = 3; bc: 1; hé/éé: character
+    // substring semantics, multibyte-safe on both engines
+    assert(out == Map("ab" -> 3L, "bc" -> 1L, "hé" -> 1L, "éé" -> 1L), out.toString)
+    val cut = Vocab.bpePairCounts(docs, minCount = 2L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cut == Map("ab" -> 3L))
+  }
+
   test("precomputed broadcast vocab path equals the self-computed path") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val vocab = broadcast(Vocab.tokenStats(docs, minTf = 1L))
