@@ -30,9 +30,14 @@ import org.apache.spark.storage.StorageLevel
   *     so Spark's Math.floorDiv(sum * Shift, n) and the oracle's
   *     floor(CAST(sum AS DOUBLE) * 65536 / n) agree always;
   *   - assignment distance is EXACT int64: d2 = sum_d (x*2^16 - cf)^2.
-  *     Bound: |x| <= ~2^11 token hits, so |x*2^16 - cf| < 2^28, squared
-  *     < 2^56, summed over 16 dims < 2^60 — no overflow, no doubles,
-  *     no order sensitivity. Ties break to the LOWEST cluster id;
+  *     Bound: |x| <= ~2^11 token hits here, so |x*2^16 - cf| < 2^28,
+  *     squared < 2^56, summed over 16 dims < 2^60 — no overflow, no
+  *     doubles, no order sensitivity. Precise precondition for other
+  *     corpora: dim * (|x|*Shift*2)^2 < 2^63, i.e. |x| < 2^30/sqrt(dim)
+  *     / Shift (~11,500 at dim=16, Shift=2^16 — a single token appearing
+  *     11k times in one doc); for megadocs lower Shift (2^8 still leaves
+  *     centroid quantization far below inter-cluster distances) rather
+  *     than risk silent Long wrap. Ties break to the LOWEST cluster id;
   *   - init is content-addressed: the k embeddings with smallest doc_id
   *     (no rand(), no kmeans++ sampling — reproducible across runs,
   *     engines, and retries);
@@ -142,9 +147,13 @@ object Cluster {
       .select(col(idCol), col("cluster"), col("d2"))
 
   /** SemDeDup threshold: drop a doc when a SMALLER-id doc in its cluster
-    * has cosine >= this (basis points). 9000bp on the hashed BoW
-    * embeddings catches the planted near-dup rewrites without collapsing
-    * merely same-topic docs.
+    * has cosine >= this (basis points). At 16 hashed-BoW dimensions,
+    * 9000bp is an AGGRESSIVE setting (the synthetic corpus keeps ~38% at
+    * sf0.01 — template-generated docs share most of their token mass, and
+    * a 16-dim projection conflates further); real deployments tune
+    * (dim, threshold) together — higher dim separates topics, higher
+    * threshold narrows to true rewrites. The operator's determinism and
+    * plan shape are independent of both knobs.
     */
   val SemDedupBp = 9000L
 
