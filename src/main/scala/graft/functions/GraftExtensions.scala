@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * extension.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => NormalizeLowerElision)
+  }
 }
 
 object GraftExtensions {
@@ -65,4 +67,14 @@ object GraftExtensions {
     functions.foreach { case (id, fi, b) =>
       org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, id, fi, b)
     }
+
+  /** Add the graft optimizer rules to an ALREADY-built session (idempotent).
+    * Sessions built with `spark.sql.extensions=graft.functions.
+    * GraftExtensions` get them injected into the operator-optimization
+    * batch instead and do not need this.
+    */
+  def registerRules(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(NormalizeLowerElision))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NormalizeLowerElision
 }
