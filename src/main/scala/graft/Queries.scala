@@ -230,6 +230,9 @@ object Queries {
 
     "q72_apply_mixture" -> ((s, dir) => Mixture.applyMixture(docsOf(s, dir))),
 
+    "q73_common_para" -> ((s, dir) =>
+      Similarity.commonParagraphFilter(ExtractionJob.chunks(corpus(s, dir)), 2L)),
+
     "q60_corpus_shuffle" -> ((s, dir) => Splits.deterministicShuffle(docsOf(s, dir))),
 
     "q61_dup_ngrams" -> ((s, dir) => Repetition.corpusDupNgrams(docsOf(s, dir))),
@@ -1095,6 +1098,14 @@ object Queries {
          |FROM d JOIN r ON d.source = r.source
          |WHERE d.coin * 10000 < r.rate_bp * ${Splits.SampleBuckets}""".stripMargin
     },
+
+    // corpus-wide boilerplate: drop EVERY occurrence of a chunk norm seen
+    // in more than 2 distinct docs (anti-join vs the heavy-hash set)
+    "q73_common_para" ->
+      (s"$ChunkCte, heavy AS (SELECT md5(norm) AS h FROM chunks " +
+        "GROUP BY md5(norm) HAVING COUNT(DISTINCT doc_id) > 2) " +
+        "SELECT c.doc_id, c.id, c.idx FROM chunks c " +
+        "LEFT JOIN heavy ON md5(c.norm) = heavy.h WHERE heavy.h IS NULL"),
 
     // the same union + running last_value(IGNORE NULLS) construction, same
     // (ts, tag, event_id) total order — inclusive-at-equal-ts pinned by

@@ -28,6 +28,33 @@ object Similarity {
         min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).cast("long").as("n_copies"))
 
+  /** Corpus-wide common-paragraph (boilerplate) filter, the
+    * RefinedWeb/CCNet-style complement of per-corpus exact dedup: a chunk
+    * whose normalized text recurs in MORE than `maxDocs` DISTINCT documents
+    * is site chrome that leaked past the per-page chrome regexes (cookie
+    * banners, nav footers), and EVERY occurrence is dropped — unlike exact
+    * dedup (reference `internal/dedupe/dedupe.go:104-148`), which keeps the
+    * first. Input: the chunk table (doc_id, id, text, norm, idx); output:
+    * surviving (doc_id, id, idx).
+    *
+    * Scale shape: (1) groupBy md5(norm) with a two-phase distinct-doc count
+    * — partial aggregation map-side, ONE exchange on the 16-byte hash, no
+    * payload; (2) the heavy set (n_docs > maxDocs) is a vanishing fraction
+    * of a real corpus (boilerplate norms only), so AQE broadcasts it and
+    * the LEFT ANTI join adds no second exchange of the big side. Nothing
+    * all-pairs, nothing driver-side.
+    */
+  def commonParagraphFilter(chunks: DataFrame, maxDocs: Long = 2L): DataFrame = {
+    val heavy = chunks
+      .groupBy(md5(col("norm")).as("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select(col("h"))
+    chunks
+      .join(heavy, md5(col("norm")) === col("h"), "left_anti")
+      .select(col("doc_id"), col("id"), col("idx"))
+  }
+
   // ---------- word-shingle machinery ----------
 
   /** ASCII-only lowercase for the hash-bearing UDF paths (shingles,

@@ -333,6 +333,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(st.last.changed == 0L, s"final round must certify convergence: $st")
   }
 
+  test("commonParagraphFilter: drops every occurrence of cross-doc boilerplate, keeps unique and lightly-shared") {
+    import spark.implicits._
+    // 4 docs; "cookie banner" is in all 4 (boilerplate, > maxDocs=2),
+    // "shared intro" in exactly 2 (kept at maxDocs=2), the rest unique.
+    // norm differs from text (normalization is what must key the count).
+    val chunks = Seq(
+      ("d1", "c0001", "Cookie BANNER!", "cookie banner", 0L),
+      ("d1", "c0002", "unique one", "unique one", 1L),
+      ("d2", "c0001", "COOKIE banner?", "cookie banner", 0L),
+      ("d2", "c0002", "Shared Intro", "shared intro", 1L),
+      ("d3", "c0001", "cookie banner", "cookie banner", 0L),
+      ("d3", "c0002", "shared INTRO.", "shared intro", 1L),
+      ("d4", "c0001", "cookie banner", "cookie banner", 0L),
+      // same norm twice WITHIN one doc: 1 distinct doc, must survive
+      ("d4", "c0002", "twice here", "twice here", 1L),
+      ("d4", "c0003", "twice HERE", "twice here", 2L)
+    ).toDF("doc_id", "id", "text", "norm", "idx")
+    val kept = Similarity.commonParagraphFilter(chunks, maxDocs = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = Set(
+      "d1" -> "c0002", "d2" -> "c0002", "d3" -> "c0002",
+      "d4" -> "c0002", "d4" -> "c0003")
+    assert(kept == expected, s"got $kept")
+  }
+
   test("clusterWinners: pointer jumping needs far fewer rounds than the diameter") {
     import spark.implicits._
     // chain of 33 (diameter 32): plain min-propagation would need 32 rounds;
