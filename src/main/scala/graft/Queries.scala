@@ -237,6 +237,9 @@ object Queries {
 
     "q61_dup_ngrams" -> ((s, dir) => Repetition.corpusDupNgrams(docsOf(s, dir))),
 
+    "q74_substring_dedup" -> ((s, dir) =>
+      Repetition.exactSubstringDedup(docsOf(s, dir))),
+
     "q62_source_mixture" -> ((s, dir) => Mixture.sourceMixture(docsOf(s, dir))),
 
     "q63_props_metrics" -> ((s, dir) =>
@@ -1066,6 +1069,32 @@ object Queries {
          |  CAST(floor(COALESCE(p.n_dup, 0) * 10000.0 /
          |    greatest(greatest(len(t) - ${n - 1}, 0), 1)) AS BIGINT) AS dup_ngram_frac_bp
          |FROM tk LEFT JOIN p ON tk.doc_id = p.doc_id""".stripMargin
+    },
+
+    // q61's gram/hash machinery with positions: duplicated gram starts
+    // expand to covered token positions, survivors string_agg in order
+    "q74_substring_dedup" -> {
+      val n = ops.Repetition.DefaultDupN
+      s"""WITH tk AS (SELECT doc_id, ${tokens(asciiLower("text"))} AS t FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(range(0, greatest(len(t) - ${n - 1}, 0))) AS pos,
+         |        unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+         |          i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' '))) AS gram FROM tk),
+         |gh AS (SELECT doc_id, pos, ${OracleHash.fnvOf("gram")} AS h FROM g),
+         |dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+         |cov AS (SELECT DISTINCT gh.doc_id, gh.pos + r.d AS cpos
+         |        FROM gh JOIN dup USING (h)
+         |        CROSS JOIN (SELECT unnest(range(0, $n)) AS d) r),
+         |tp AS (SELECT doc_id, unnest(t) AS w, unnest(range(0, len(t))) AS p FROM tk),
+         |kept AS (SELECT tp.doc_id, tp.w, tp.p FROM tp
+         |         LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.cpos
+         |         WHERE cov.cpos IS NULL),
+         |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS cleaned,
+         |               CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1)
+         |SELECT tk.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(t) AS BIGINT) - COALESCE(agg.n_kept, 0) AS n_removed,
+         |  COALESCE(agg.cleaned, '') AS cleaned
+         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin
     },
 
     // the distinct-content count reuses the A1 exact-dedup key (HUGEINT

@@ -106,6 +106,52 @@ object Repetition {
     * for a per-doc FRACTION in basis points, and the DuckDB oracle computes
     * the identical hash, so parity is exact regardless).
     */
+  /** Exact-substring dedup (the Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" family, n-gram approximated): every
+    * token position whose n-gram occurs >= `minCount` times across the
+    * whole corpus is REMOVED — all copies, both sides, like the paper's
+    * remove-every-occurrence policy (and unlike doc/paragraph dedup, which
+    * keeps a winner). A maximal duplicated run of m >= n tokens contributes
+    * m-n+1 duplicated gram starts whose [start, start+n) cover exactly its
+    * m tokens, so this removes all duplicated substrings of length >= n
+    * without building suffix arrays. Output per doc: token counts and the
+    * cleaned text (surviving tokens rejoined by single spaces).
+    *
+    * Scale shape: gram hashes travel as (doc_id, pos, 8-byte fnv) — never
+    * gram strings (shared machinery with [[corpusDupNgrams]], so the
+    * DuckDB oracle recomputes the identical hash). Exchanges: the gram-hash
+    * groupBy (map-side partials), the positions⋈duplicated-set hash join
+    * (AQE broadcasts a small dup vocabulary), the doc_id agg of matched
+    * starts, and ONE doc_id join back to the token arrays — the splice
+    * itself is a per-row Column HOF (tokens never explode into an
+    * exchange; matched starts per doc are bounded by the doc's own token
+    * count). No suffix array, no sort of the corpus, no driver state.
+    */
+  def exactSubstringDedup(docs: DataFrame, n: Int = DefaultDupN,
+      minCount: Long = 2L): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokens(translate(col("text"),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")).as("tk"))
+    val grams = when(size(col("tk")) >= n,
+      transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+        i => array_join(slice(col("tk"), i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val pos = toks.select(col("doc_id"), posexplode(grams))
+      .select(col("doc_id"), col("pos"), Exprs.fnv1a64(col("col")).as("h"))
+    val dup = pos.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("h"))
+    val starts = pos.join(dup, Seq("h"))
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("starts"))
+    val st = coalesce(col("starts"), array().cast("array<int>"))
+    val kept = filter(col("tk"),
+      (t, i) => not(exists(st, s => s <= i && i < s + n)))
+    toks.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(kept)).cast("long").as("n_removed"),
+        concat_ws(" ", kept).as("cleaned"))
+  }
+
   def corpusDupNgrams(docs: DataFrame, n: Int = DefaultDupN,
       minCount: Long = 2L): DataFrame = {
     val pos = docs.select(col("doc_id"),

@@ -81,6 +81,38 @@ class RepetitionSpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  test("exactSubstringDedup: removes every copy of a duplicated run, keeps flanks") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),   // dup run mid-doc, flanks survive
+      (2L, s"$shared delta"),              // dup run at the head
+      (3L, "too short to have any"),       // < 10 tokens: untouched
+      (4L, (1 to 11).map(i => s"u$i").mkString(" "))) // unique: untouched
+      .toDF("doc_id", "text")
+    val out = Repetition.exactSubstringDedup(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // remove-EVERY-occurrence: both docs lose the shared 10 tokens
+    assert(out(1L) == ((13L, 10L, "alpha beta gamma")), out.toString)
+    assert(out(2L) == ((11L, 10L, "delta")), out.toString)
+    assert(out(3L) == ((5L, 0L, "too short to have any")), out.toString)
+    assert(out(4L) == ((11L, 0L, (1 to 11).map(i => s"u$i").mkString(" "))), out.toString)
+  }
+
+  test("exactSubstringDedup: overlapping duplicated grams cover the whole run once") {
+    import spark.implicits._
+    // a duplicated 12-token run = 3 duplicated 10-gram starts (0,1,2) whose
+    // windows overlap; exactly the 12 run tokens go, nothing beyond
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val docs = Seq((1L, s"$run keepme"), (2L, run)).toDF("doc_id", "text")
+    val out = Repetition.exactSubstringDedup(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((13L, 12L, "keepme")), out.toString)
+    assert(out(2L) == ((12L, 12L, "")), out.toString)
+  }
+
   test("corpusDupNgrams: minCount raises the duplication bar") {
     import spark.implicits._
     val g = (1 to 10).map(i => s"x$i").mkString(" ")
