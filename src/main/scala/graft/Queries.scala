@@ -240,6 +240,10 @@ object Queries {
     "q74_substring_dedup" -> ((s, dir) =>
       Repetition.exactSubstringDedup(docsOf(s, dir))),
 
+    "q75_tfidf_keywords" -> ((s, dir) => Vocab.tfidfKeywords(docsOf(s, dir))),
+
+    "q76_curation_manifest" -> ((s, dir) => Curation.manifest(docsOf(s, dir))),
+
     "q62_source_mixture" -> ((s, dir) => Mixture.sourceMixture(docsOf(s, dir))),
 
     "q63_props_metrics" -> ((s, dir) =>
@@ -1095,6 +1099,65 @@ object Queries {
          |  CAST(len(t) AS BIGINT) - COALESCE(agg.n_kept, 0) AS n_removed,
          |  COALESCE(agg.cleaned, '') AS cleaned
          |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin
+    },
+
+    // tf/df (not tf·log(N/df)) so the ranking is one exact integer product
+    // + one correctly-rounded division per row — float logs round
+    // differently across engines and a 1-ulp tie flip would change the
+    // kept set; ties break on the token, so top-k is engine-independent
+    "q75_tfidf_keywords" -> {
+      val k = Vocab.KeywordsK
+      s"""WITH tk AS (SELECT doc_id, unnest(${tokens(asciiLower("text"))}) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |        CAST(floor(tf.tf * 10000.0 / df.df) AS BIGINT) AS score_bp
+         |      FROM tf JOIN df USING (token)),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY score_bp DESC, token) AS BIGINT) AS krank
+         |      FROM s)
+         |SELECT doc_id, token, tf, df, score_bp, krank FROM r WHERE krank <= $k""".stripMargin
+    },
+
+    // the capstone: every stage recomputed from its standalone-query twin
+    // (q29/q54 gates, q56 grams, A1 norm-md5 dedup, q50 buckets, q57
+    // prefix-sum packing), composed in the same order as the Spark plan
+    "q76_curation_manifest" -> {
+      val n = Decontaminate.DefaultN
+      val punctBp = "CAST(floor(len(regexp_extract_all(text, '[^a-zA-Z0-9\t\n\f\r ]')) * 10000.0 / greatest(length(text), 1)) AS BIGINT)"
+      val bkt = s"CAST(${OracleHash.fnvOf(s"CAST(doc_id AS VARCHAR) || '${Splits.SplitSalt}'")} % ${Splits.SplitBuckets} AS BIGINT)"
+      s"""WITH l0 AS (SELECT doc_id, text,
+         |        list_filter(string_split(text, chr(10)), l -> l <> '') AS ls
+         |      FROM documents WHERE doc_id % ${Curation.EvalMod} <> 0),
+         |pass AS (SELECT doc_id, text FROM l0
+         |      WHERE length(text) >= ${Curation.MinChars}
+         |        AND $punctBp <= ${Curation.MaxPunctBp}
+         |        AND CAST(floor((len(ls) - len(list_distinct(ls))) * 10000.0 /
+         |              greatest(len(ls), 1)) AS BIGINT) <= ${Curation.MaxDupLineBp}),
+         |tk AS (SELECT doc_id, ${tokens(asciiLower("text"))} AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+         |        i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' '))) AS gram FROM tk),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % ${Curation.EvalMod} = 0),
+         |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)),
+         |clean AS (SELECT p.doc_id, p.text FROM pass p
+         |      WHERE p.doc_id NOT IN (SELECT doc_id FROM cont)),
+         |d AS (SELECT doc_id, text, md5(${norm("text")}) AS h FROM clean),
+         |w AS (SELECT doc_id, text FROM (
+         |        SELECT doc_id, text,
+         |          row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM d)
+         |      WHERE rn = 1),
+         |sp AS (SELECT doc_id, text,
+         |        CASE WHEN $bkt < ${Splits.TrainLt} THEN 'train'
+         |             WHEN $bkt < ${Splits.ValLt} THEN 'val'
+         |             ELSE 'test' END AS split FROM w),
+         |t2 AS (SELECT doc_id, split, CAST(len(${tokens("text")}) AS BIGINT) AS n_tokens FROM sp),
+         |pk AS (SELECT doc_id, COALESCE(SUM(n_tokens) OVER
+         |        (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |      FROM t2 WHERE split = 'train')
+         |SELECT t2.doc_id, t2.split, t2.n_tokens,
+         |  CAST(pk.cum // ${Pack.DefaultBudget} AS BIGINT) AS seq_id,
+         |  CAST(pk.cum % ${Pack.DefaultBudget} AS BIGINT) AS seq_offset
+         |FROM t2 LEFT JOIN pk ON t2.doc_id = pk.doc_id""".stripMargin
     },
 
     // the distinct-content count reuses the A1 exact-dedup key (HUGEINT

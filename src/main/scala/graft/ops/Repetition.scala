@@ -39,6 +39,17 @@ object Repetition {
   private def lines(text: Column): Column =
     filter(split(text, "\n"), l => l =!= "")
 
+  /** Duplicate-line fraction in basis points, as a single reusable Column —
+    * THE canonical definition (identical arithmetic to the `dup_line_frac_bp`
+    * emitted by [[signals]]; RepetitionSpec pins the two equal row-by-row),
+    * shared with the curation-manifest capstone ([[Curation.manifest]]).
+    */
+  def dupLineFracBp(text: Column): Column = {
+    val ls = lines(text)
+    floor((size(ls) - size(array_distinct(ls))) * 10000.0 /
+      greatest(size(ls), lit(1)))
+  }
+
   /** Token bigrams joined by one space; empty below 2 tokens. */
   def bigrams(toks: Column): Column =
     when(size(toks) >= 2,

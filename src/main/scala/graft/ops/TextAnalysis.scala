@@ -53,6 +53,17 @@ object TextAnalysis {
           .otherwise("de"))
   }
 
+  /** Punctuation ratio in basis points — THE canonical definition, shared
+    * by [[quality]], the q53 percentile gate, and the curation-manifest
+    * capstone ([[Curation.manifest]]) so all three filter on the same
+    * number.
+    */
+  def punctRatioBp(text: Column): Column =
+    floor(
+      size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\t\\n\\f\\r ]"), lit(0)))
+        .cast("long") * 10000.0 /
+        greatest(length(text).cast("long"), lit(1L)))
+
   /** Quality scoring: length, mean word length, punctuation / digit /
     * stopword / whitespace ratios — the usual cheap quality gates
     * (Gopher/C4-style) as basis points.
@@ -61,7 +72,6 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     val nChars = length(col("text")).cast("long")
     val nTokens = size(toks).cast("long")
-    val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\t\\n\\f\\r ]"), lit(0))).cast("long")
     val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("long")
     val stop = stopHits(tokens(lower(col("text"))), EnStop).cast("long")
     docs.select(
@@ -69,7 +79,7 @@ object TextAnalysis {
       nChars.as("n_chars"),
       nTokens.as("n_tokens"),
       floor(nChars * 10000.0 / greatest(nTokens, lit(1L))).as("mean_word_len_bp"),
-      floor(punct * 10000.0 / greatest(nChars, lit(1L))).as("punct_ratio_bp"),
+      punctRatioBp(col("text")).as("punct_ratio_bp"),
       floor(digits * 10000.0 / greatest(nChars, lit(1L))).as("digit_ratio_bp"),
       floor(stop * 10000.0 / greatest(nTokens, lit(1L))).as("stopword_ratio_bp"))
   }

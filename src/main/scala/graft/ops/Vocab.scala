@@ -102,4 +102,66 @@ object Vocab {
         floor(coalesce(col("l2sum"), lit(0L)) * 10000.0 /
           greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L))).as("uni_score_bp"))
   }
+
+  /** Default keywords kept per document. */
+  val KeywordsK = 5
+
+  /** Per-doc keyword extraction: the top-k tokens by tf-over-df, the
+    * corpus-relative "what is this document about" signal (tagging /
+    * clustering / mixture analysis input in a curation pipeline).
+    *
+    * Scoring is DELIBERATELY tf/df rather than tf·log(N/df): as a per-doc
+    * RANKING both reward tokens frequent here and rare corpus-wide, but a
+    * float log2/ln is rounded differently across engines (a 1-ulp
+    * disagreement near a tie flips the top-k set), while
+    * floor(tf·10000/df) is one exact integer product (tf·10⁴ < 2^53
+    * always, since tf is bounded by a document's token count) followed by
+    * one correctly-rounded IEEE division and a floor — bit-identical in
+    * Spark and DuckDB, the same discipline as every other _bp column.
+    * Ties (same score) break on the token ascending, so the kept set is a
+    * pure function of the corpus on both engines.
+    *
+    * Scale shape: (doc_id, token) groupBy for tf (ONE exchange with
+    * map-side partials — the word-count shape), df by a token-keyed groupBy
+    * (second exchange, vocabulary-sized output), tf⋈df on the token (AQE
+    * broadcasts the vocab side when it fits), then one doc_id exchange for
+    * the per-doc top-k window — which Spark 4 executes as WindowGroupLimit,
+    * pruning each map partition to its local top-k BEFORE the exchange, so
+    * the window shuffle carries ~k rows per (partition, doc), not every
+    * (doc, token) pair.
+    *
+    * Deliberate plan choice, eyes open: without a precomputed `dfTable`,
+    * the df branch re-runs the scan→explode→partial-agg subtree (the
+    * formatted plan shows two scans — column pruning makes the branches'
+    * exchanges non-identical, so ReuseExchange cannot merge them, the q23
+    * lesson). The two rejected single-pass shapes are WORSE at 10^12 docs:
+    * a count-over-token window on one explicit exchange (q23's own fix)
+    * puts every occurrence row of a stop word into ONE window partition —
+    * a guaranteed straggler, where q23 had a semantic df-cap to lean on
+    * and a keyword ranking does not; persisting the tf table caches a
+    * corpus-scale intermediate to dodge a map-only recompute. Two perfectly
+    * parallel map passes is the cheapest honest plan — and a production
+    * pipeline passes `dfTable` (one [[tokenStats]] pass, reused across
+    * every query of the corpus), which makes this single-pass anyway: the
+    * same precompute-and-broadcast discipline as [[unigramScore]]'s
+    * `vocab`.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = KeywordsK,
+      dfTable: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(asciiTokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = dfTable.getOrElse(
+      tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_bp").desc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .withColumn("score_bp", floor(col("tf") * 10000.0 / col("df")))
+      .withColumn("krank", row_number().over(w).cast("long"))
+      .filter(col("krank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score_bp"), col("krank"))
+  }
 }

@@ -113,6 +113,20 @@ class RepetitionSpec extends AnyFunSuite {
     assert(out(2L) == ((12L, 12L, "")), out.toString)
   }
 
+  test("dupLineFracBp column equals signals' dup_line_frac_bp row-by-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a\nb\na\n\nc"), (2L, "x"), (3L, ""), (4L, "l\nl\nl"))
+      .toDF("doc_id", "text")
+    val viaSignals = Repetition.signals(docs)
+      .select(col("doc_id"), col("dup_line_frac_bp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaColumn = docs
+      .select(col("doc_id"), Repetition.dupLineFracBp(col("text")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSignals == viaColumn)
+  }
+
   test("corpusDupNgrams: minCount raises the duplication bar") {
     import spark.implicits._
     val g = (1 to 10).map(i => s"x$i").mkString(" ")

@@ -59,6 +59,41 @@ class VocabSpec extends AnyFunSuite {
     assert(cut == Map("ab" -> 3L))
   }
 
+  test("tfidfKeywords: rare-here-and-nowhere-else wins; score ties break on token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "banana banana banana date")).toDF("doc_id", "text")
+    val out = Vocab.tfidfKeywords(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // df: apple 1, banana 3, cherry 1, date 1
+    assert(out((1L, "apple")) == ((2L, 1L, 20000L, 1L)))
+    assert(out((1L, "banana")) == ((1L, 3L, 3333L, 2L)))
+    assert(out((2L, "cherry")) == ((1L, 1L, 10000L, 1L)))
+    // doc 3: banana floor(3*10000/3)=10000 ties date 10000 -> token asc
+    assert(out((3L, "banana"))._4 == 1L && out((3L, "date"))._4 == 2L)
+    val top1 = Vocab.tfidfKeywords(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1 == Map(1L -> "apple", 2L -> "cherry", 3L -> "banana"))
+  }
+
+  test("tfidfKeywords: the top-k window is executed as WindowGroupLimit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Vocab.tfidfKeywords(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("tfidfKeywords: precomputed broadcast df table equals the self-computed path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dfT = broadcast(Vocab.tokenStats(docs, minTf = 1L)
+      .select(col("token"), col("df")))
+    val a = Vocab.tfidfKeywords(docs)
+    val b = Vocab.tfidfKeywords(docs, dfTable = Some(dfT))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("precomputed broadcast vocab path equals the self-computed path") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val vocab = broadcast(Vocab.tokenStats(docs, minTf = 1L))
