@@ -35,12 +35,13 @@ import org.apache.spark.sql.functions._
   * assignment are map-only and fuse into adjacent stages; the
   * decontamination side is a broadcast join against the (small) eval gram
   * set, producing a contaminated-doc_id set that AQE broadcast-anti-joins
-  * back; the dedup window is ONE exchange keyed by the 16-byte norm hash;
+  * back; the dedup window is ONE exchange keyed by the 16-byte norm hash,
+  * carrying (hash, doc_id, n_tokens) — token counts are computed map-side
+  * where the text is, so NO document text enters any exchange of the plan;
   * packing adds the range exchange + two-job prefix sum documented on
-  * [[Pack.packSequences]]; the final manifest join keys on doc_id. Nothing
-  * shuffles document text except the two exchanges that genuinely need it
-  * (dedup winner selection and the packing sort) — and both of those could
-  * drop the payload too if the manifest did not carry n_tokens.
+  * [[Pack.packCounts]] (16 bytes/doc); the final manifest join keys on
+  * doc_id. The post-dedup (doc_id, split, n_tokens) frame is persisted at
+  * the stage boundary because three downstream jobs consume it.
   */
 object Curation {
 
@@ -78,28 +79,38 @@ object Curation {
       .select(col("doc_id")).distinct()
     val clean = passed.join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 3. exact dedup: min-doc_id winner per normalized text (q05 shape)
+    // 3. exact dedup: min-doc_id winner per normalized text (q05 shape).
+    // n_tokens is computed HERE, map-side where the text is, and the text
+    // column is dropped before the window — the dedup exchange carries
+    // (16-byte hash, doc_id, n_tokens); no document text enters ANY
+    // exchange of this whole plan.
     val byNorm = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
     val winners = clean
-      .withColumn("h", md5(Exprs.normCol(col("text"))))
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(Exprs.normCol(col("text"))).as("h"))
       .withColumn("rn", row_number().over(byNorm))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_tokens"))
 
-    // 4. split assignment: content-addressed buckets (q50 constants)
+    // 4. split assignment: content-addressed buckets (q50 constants).
+    // PERSISTED at this stage boundary: downstream runs THREE jobs over it
+    // (packCounts' per-partition-totals collect, its main pass, and the
+    // manifest join) — unpersisted, each would re-execute the gates + gram
+    // join + dedup window from the scan (measured 13.3 s vs 2 s at sf0.1).
+    // The cached frame is (long, string, long) per surviving doc — tiny
+    // relative to the corpus at any scale, and spillable.
     val withSplit = winners.withColumn("split", {
       val b = Splits.bucketOf(col("doc_id"), Splits.SplitSalt, Splits.SplitBuckets)
       when(b < Splits.TrainLt, "train").when(b < Splits.ValLt, "val").otherwise("test")
-    })
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 5. pack the train stream (q57 shape); manifest join back on doc_id
     val packed = Pack
-      .packSequences(withSplit.filter(col("split") === "train")
-        .select(col("doc_id"), col("text")), budget)
+      .packCounts(withSplit.filter(col("split") === "train")
+        .select(col("doc_id"), col("n_tokens")), budget)
       .select(col("doc_id"), col("seq_id"), col("seq_offset"))
     withSplit
-      .select(col("doc_id"), col("split"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
       .join(packed, Seq("doc_id"), "left")
       .select(col("doc_id"), col("split"), col("n_tokens"),
         col("seq_id"), col("seq_offset"))

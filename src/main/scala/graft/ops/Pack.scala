@@ -41,14 +41,25 @@ object Pack {
     * spans into the next one(s), as concat-and-chunk does.
     */
   def packSequences(docs: DataFrame, budget: Long = DefaultBudget,
+      partitions: Int = 0): DataFrame =
+    packCounts(docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+      budget, partitions)
+
+  /** [[packSequences]] over a pre-tokenized (doc_id, n_tokens) frame — the
+    * form composition sites use (the q76 curation manifest): token counts
+    * are computed map-side where the text already is, so the packing range
+    * exchange carries 16 bytes per doc instead of the document text.
+    */
+  def packCounts(counts: DataFrame, budget: Long = DefaultBudget,
       partitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val spark = docs.sparkSession
+    val spark = counts.sparkSession
     val n = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sorted = docs
+    val sorted = counts
       .select(col("doc_id").cast("long").as("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        col("n_tokens").cast("long").as("n_tokens"))
       .repartitionByRange(n, col("doc_id"))
       .sortWithinPartitions("doc_id")
     val rdd = sorted.rdd // ONE lineage: both jobs below reuse this shuffle
