@@ -1141,7 +1141,9 @@ object Queries {
          |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)),
          |clean AS (SELECT p.doc_id, p.text FROM pass p
          |      WHERE p.doc_id NOT IN (SELECT doc_id FROM cont)),
-         |d AS (SELECT doc_id, text, md5(${norm("text")}) AS h FROM clean),
+         |d AS (SELECT doc_id, text,
+         |        CASE WHEN ${norm("text")} = '' THEN 'EMPTY:' || CAST(doc_id AS VARCHAR)
+         |             ELSE md5(${norm("text")}) END AS h FROM clean),
          |w AS (SELECT doc_id, text FROM (
          |        SELECT doc_id, text,
          |          row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM d)

@@ -58,7 +58,13 @@ object Curation {
     */
   val EvalMod = 97L
 
-  def manifest(docs: DataFrame, budget: Long = Pack.DefaultBudget): DataFrame = {
+  /** `checkpointDir`: when given, the post-dedup (doc_id, split, n_tokens)
+    * frame is materialized as parquet under it instead of locally
+    * checkpointed — survives executor loss on preemptible fleets, the same
+    * trade [[LshDedup.clusterWinners]] offers.
+    */
+  def manifest(docs: DataFrame, budget: Long = Pack.DefaultBudget,
+      checkpointDir: Option[String] = None): DataFrame = {
     // 1. structural gates + eval-doc exclusion: map-only, fused into the scan
     val passed = docs
       .filter(col("doc_id") % EvalMod =!= 0)
@@ -79,31 +85,46 @@ object Curation {
       .select(col("doc_id")).distinct()
     val clean = passed.join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 3. exact dedup: min-doc_id winner per normalized text (q05 shape).
-    // n_tokens is computed HERE, map-side where the text is, and the text
-    // column is dropped before the window — the dedup exchange carries
-    // (16-byte hash, doc_id, n_tokens); no document text enters ANY
-    // exchange of this whole plan.
+    // 3. exact dedup: min-doc_id winner per normalized text (q05/A1 shape,
+    // INCLUDING A1's empty-norm guard: a whitespace-only doc normalizes to
+    // "", and two such docs are different documents, not duplicates — each
+    // gets a per-doc unique key, mirroring DedupeOps.exactKey /
+    // dedupe.go:86-90). n_tokens is computed HERE, map-side where the text
+    // is, and the text column is dropped before the window — the dedup
+    // exchange carries (hash, doc_id, n_tokens); no document text enters
+    // ANY exchange of this whole plan.
     val byNorm = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
+    val nrm = Exprs.normCol(col("text"))
     val winners = clean
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
-        md5(Exprs.normCol(col("text"))).as("h"))
+        when(nrm === "", concat(lit("EMPTY:"), col("doc_id").cast("string")))
+          .otherwise(md5(nrm)).as("h"))
       .withColumn("rn", row_number().over(byNorm))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("n_tokens"))
 
-    // 4. split assignment: content-addressed buckets (q50 constants).
-    // PERSISTED at this stage boundary: downstream runs THREE jobs over it
-    // (packCounts' per-partition-totals collect, its main pass, and the
-    // manifest join) — unpersisted, each would re-execute the gates + gram
-    // join + dedup window from the scan (measured 13.3 s vs 2 s at sf0.1).
-    // The cached frame is (long, string, long) per surviving doc — tiny
-    // relative to the corpus at any scale, and spillable.
-    val withSplit = winners.withColumn("split", {
-      val b = Splits.bucketOf(col("doc_id"), Splits.SplitSalt, Splits.SplitBuckets)
-      when(b < Splits.TrainLt, "train").when(b < Splits.ValLt, "val").otherwise("test")
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 4. split assignment: content-addressed buckets (Splits.splitOf — the
+    // same definition q50 uses). MATERIALIZED at this stage boundary:
+    // downstream runs THREE jobs over it (packCounts' per-partition-totals
+    // collect, its main pass, and the manifest join) — unmaterialized,
+    // each would re-execute the gates + gram join + dedup window from the
+    // scan (measured 13.3 s vs 1.05 s at sf0.1). localCheckpoint, NOT
+    // Dataset.persist: a persist inside a function returning a lazy frame
+    // leaks a CacheManager entry per call (no unpersist handle exists for
+    // the caller), while local-checkpoint blocks are reference-tracked by
+    // the ContextCleaner and freed once the returned plan is dropped. The
+    // frame is (long, string, long) per surviving doc — tiny at any scale.
+    // Non-fault-tolerant by design; pass `checkpointDir` on preemptible
+    // fleets for a reliable parquet materialization instead.
+    val splitDone = winners.withColumn("split", Splits.splitOf(col("doc_id")))
+    val withSplit = checkpointDir match {
+      case Some(d) =>
+        val path = s"$d/curation_split"
+        splitDone.write.mode("overwrite").parquet(path)
+        docs.sparkSession.read.parquet(path)
+      case None => splitDone.localCheckpoint()
+    }
 
     // 5. pack the train stream (q57 shape); manifest join back on doc_id
     val packed = Pack

@@ -46,14 +46,21 @@ object Splits {
     * the split column can be computed inline by any consumer (or used as a
     * `partitionBy` column on write, giving split-pruned training scans).
     */
+  /** Split label for a doc_id — THE single definition of the
+    * train/val/test boundary, shared by [[assignSplits]] (q50) and the
+    * curation-manifest capstone ([[Curation.manifest]], q76) so a
+    * rebalance edited here moves both in lock-step.
+    */
+  def splitOf(docId: Column): Column = {
+    val b = bucketOf(docId, SplitSalt, SplitBuckets)
+    when(b < TrainLt, "train").when(b < ValLt, "val").otherwise("test")
+  }
+
   def assignSplits(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        bucketOf(col("doc_id"), SplitSalt, SplitBuckets).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < TrainLt, "train")
-          .when(col("bucket") < ValLt, "val")
-          .otherwise("test"))
+        bucketOf(col("doc_id"), SplitSalt, SplitBuckets).as("bucket"),
+        splitOf(col("doc_id")).as("split"))
 
   val SampleBuckets = 16384
   /** Default stratification: downsample the dominant language to 25%,

@@ -155,9 +155,18 @@ object Vocab {
       .agg(count(lit(1)).as("tf"))
     val df = dfTable.getOrElse(
       tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
+    // LEFT join + coalesce(df, 1), not inner: a dfTable from tokenStats'
+    // default minTf=2 omits exactly the tokens with corpus tf = 1 — whose
+    // df is therefore EXACTLY 1 — so the coalesce makes the documented
+    // fast path bit-identical to the self-computed one (an inner join
+    // would silently drop a doc's rarest, highest-scoring keywords).
+    // For minTf > 2 the bound loosens (absent ⇒ df <= minTf - 1 but
+    // coalesced to 1, overscoring the dropped tail) — spec-pinned at the
+    // default.
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_bp").desc, col("token").asc)
-    tf.join(df, Seq("token"))
+    tf.join(df, Seq("token"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
       .withColumn("score_bp", floor(col("tf") * 10000.0 / col("df")))
       .withColumn("krank", row_number().over(w).cast("long"))
       .filter(col("krank") <= k)

@@ -59,6 +59,19 @@ class CurationSpec extends AnyFunSuite {
     assert(out.exists(_.getString(1) == "train"), "fixture must land a train doc")
   }
 
+  test("two distinct whitespace-only docs are NOT deduped against each other (A1 empty-norm guard)") {
+    import spark.implicits._
+    // both pass every gate (length >= 100, punct 0, one non-empty line,
+    // no tokens so no grams) and both normalize to "" — different
+    // documents, so both must survive, each with n_tokens = 0
+    val docs = corpus().unionByName(
+      Seq((10L, " " * 120), (11L, " " * 130)).toDF("doc_id", "text"))
+    val out = Curation.manifest(docs).collect()
+    val ws = out.filter(r => r.getLong(0) == 10L || r.getLong(0) == 11L)
+    assert(ws.length == 2, out.mkString("\n"))
+    assert(ws.forall(_.getLong(2) == 0L))
+  }
+
   test("a doc duplicating an already-kept doc never displaces it") {
     import spark.implicits._
     val base = corpus()

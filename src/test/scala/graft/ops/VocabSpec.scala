@@ -94,6 +94,26 @@ class VocabSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("tfidfKeywords: a minTf=2 (default) df table still scores tf=1 tokens as df=1") {
+    import spark.implicits._
+    // "unicorn" occurs ONCE in the corpus -> cut by tokenStats minTf=2;
+    // the left join + coalesce(df, 1) must still rank it top (df=1 is its
+    // exact document frequency), where an inner join would drop the doc's
+    // best keyword entirely.
+    val docs = Seq(
+      (1L, "unicorn common common"),
+      (2L, "common common filler"),
+      (3L, "common filler filler")).toDF("doc_id", "text")
+    val dfT = Vocab.tokenStats(docs).select(col("token"), col("df")) // default minTf = 2
+    assert(!dfT.collect().map(_.getString(0)).contains("unicorn"))
+    val a = Vocab.tfidfKeywords(docs)
+    val b = Vocab.tfidfKeywords(docs, dfTable = Some(dfT))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val top1 = Vocab.tfidfKeywords(docs, k = 1, dfTable = Some(dfT)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1(1L) == "unicorn")
+  }
+
   test("precomputed broadcast vocab path equals the self-computed path") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val vocab = broadcast(Vocab.tokenStats(docs, minTf = 1L))
