@@ -109,21 +109,29 @@ object Curation {
     // downstream runs THREE jobs over it (packCounts' per-partition-totals
     // collect, its main pass, and the manifest join) — unmaterialized,
     // each would re-execute the gates + gram join + dedup window from the
-    // scan (measured 13.3 s vs 1.05 s at sf0.1). localCheckpoint, NOT
-    // Dataset.persist: a persist inside a function returning a lazy frame
-    // leaks a CacheManager entry per call (no unpersist handle exists for
-    // the caller), while local-checkpoint blocks are reference-tracked by
-    // the ContextCleaner and freed once the returned plan is dropped. The
-    // frame is (long, string, long) per surviving doc — tiny at any scale.
-    // Non-fault-tolerant by design; pass `checkpointDir` on preemptible
-    // fleets for a reliable parquet materialization instead.
+    // scan (measured 13.3 s vs ~1 s at sf0.1). The materialization is a
+    // persisted RDD, deliberately NOT Dataset.persist and NOT
+    // localCheckpoint: a Dataset persist inside a function returning a
+    // lazy frame leaks a CacheManager entry per call (no unpersist handle
+    // exists for the caller; CacheManager holds it for the session
+    // lifetime), while RDD persists are reference-tracked by the
+    // ContextCleaner and freed once the returned plan is dropped; and
+    // localCheckpoint's eager extra job re-ran the upstream per bench rep
+    // (measured 6.3 s vs ~1 s). Lazy RDD persist gives persist-grade reuse
+    // with RDD-grade cleanup. The frame is (long, string, long) per
+    // surviving doc — tiny at any scale. Cached blocks are
+    // non-fault-tolerant; pass `checkpointDir` on preemptible fleets for
+    // a reliable parquet materialization instead.
     val splitDone = winners.withColumn("split", Splits.splitOf(col("doc_id")))
     val withSplit = checkpointDir match {
       case Some(d) =>
         val path = s"$d/curation_split"
         splitDone.write.mode("overwrite").parquet(path)
         docs.sparkSession.read.parquet(path)
-      case None => splitDone.localCheckpoint()
+      case None =>
+        val rdd = splitDone.rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.sparkSession.createDataFrame(rdd, splitDone.schema)
     }
 
     // 5. pack the train stream (q57 shape); manifest join back on doc_id

@@ -21,14 +21,38 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Token n-grams of `text` (ASCII-lowercased, whitespace tokens, joined
-    * by one space); empty below n tokens. ASCII-only lowering (translate,
-    * not lower()) because grams are JOIN KEYS: engine lower()s disagree on
-    * some Unicode uppercase (see OracleSql.asciiLower), which would
-    * silently flip membership. The `when` guard matters: Spark's
-    * `sequence(1, 0)` helpfully steps BACKWARDS, which would fabricate
-    * grams for short docs.
+    * by one space); empty below n tokens. ASCII-only lowering because
+    * grams are JOIN KEYS: engine lower()s disagree on some Unicode
+    * uppercase (see OracleSql.asciiLower), which would silently flip
+    * membership.
+    *
+    * A compiled UDF, not the Column-HOF formulation (kept below as
+    * [[ngramsHof]], the in-engine spec twin): Catalyst higher-order
+    * functions run an interpreted lambda per ELEMENT, and the
+    * transform+array_join(slice) form measured ~23 µs per gram — 5.5 s
+    * for one sf0.1 explode, the dominant cost of the q76 capstone and of
+    * any REAL consumer of the q56 screen (the same finding, fix, and
+    * justification as Similarity.shinglesU in round 3). Null text degrades
+    * to the empty set like the engine-native paths.
     */
-  def ngrams(text: Column, n: Int): Column = {
+  private val ngramsU = udf { (text: String, n: Int) =>
+    if (text == null) Array.empty[String]
+    else {
+      val toks = Similarity.asciiLower(text)
+        .split("[\t\n\f\r ]+").filter(_.nonEmpty)
+      if (toks.length < n) Array.empty[String]
+      else toks.sliding(n).map(_.mkString(" ")).toArray
+    }
+  }
+
+  def ngrams(text: Column, n: Int): Column = ngramsU(text, lit(n))
+
+  /** The original Column-HOF formulation — the spec twin [[ngrams]] is
+    * parity-tested against (DecontaminateSpec). The `when` guard matters:
+    * Spark's `sequence(1, 0)` helpfully steps BACKWARDS, which would
+    * fabricate grams for short docs.
+    */
+  private[ops] def ngramsHof(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(translate(text,
       "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"))
     when(size(toks) >= n,

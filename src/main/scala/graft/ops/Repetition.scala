@@ -138,15 +138,22 @@ object Repetition {
     * exchange; matched starts per doc are bounded by the doc's own token
     * count). No suffix array, no sort of the corpus, no driver state.
     */
+  /** Sliding n-grams of a token array as a compiled UDF — the HOF
+    * transform+array_join(slice) form runs an interpreted lambda per gram
+    * (~23 µs each, measured; see Decontaminate.ngrams for the identical
+    * finding and Similarity.shinglesU for the round-3 precedent).
+    */
+  private val gramsOfTokensU = udf { (toks: Seq[String], n: Int) =>
+    if (toks == null || toks.length < n) Array.empty[String]
+    else toks.sliding(n).map(_.mkString(" ")).toArray
+  }
+
   def exactSubstringDedup(docs: DataFrame, n: Int = DefaultDupN,
       minCount: Long = 2L): DataFrame = {
     val toks = docs.select(col("doc_id"),
       TextAnalysis.tokens(translate(col("text"),
         "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")).as("tk"))
-    val grams = when(size(col("tk")) >= n,
-      transform(sequence(lit(1), size(col("tk")) - (n - 1)),
-        i => array_join(slice(col("tk"), i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val grams = gramsOfTokensU(col("tk"), lit(n))
     val pos = toks.select(col("doc_id"), posexplode(grams))
       .select(col("doc_id"), col("pos"), Exprs.fnv1a64(col("col")).as("h"))
     val dup = pos.groupBy(col("h")).agg(count(lit(1)).as("c"))

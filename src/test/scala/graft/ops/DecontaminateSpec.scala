@@ -53,4 +53,29 @@ class DecontaminateSpec extends AnyFunSuite {
     val out = run(Seq(1L -> "a b c d and a b c d"), Seq((9L, "a b c d")), n = 4)
     assert(out(1L)._1 == 2L)
   }
+
+  test("compiled ngrams UDF is row-identical to the Column-HOF spec twin") {
+    import org.apache.spark.sql.functions.col
+    val fixtures = df(
+      1L -> "The QUICK brown fox JUMPS over the lazy dog today",
+      2L -> "short doc", // below n -> empty
+      3L -> "", // empty text
+      4L -> "  tabs\tand\nnewlines   collapse  ", // ws runs
+      5L -> "a b c d e f g h", // exactly n tokens at n=8
+      6L -> "İstanbul STRASSE ß ümlaut MIXED case grams here now") // non-ASCII untouched
+    for (n <- Seq(2, 4, 8)) {
+      val u = fixtures.select(col("doc_id"),
+        Decontaminate.ngrams(col("text"), n).as("g")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val h = fixtures.select(col("doc_id"),
+        Decontaminate.ngramsHof(col("text"), n).as("g")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(u == h, s"n=$n")
+    }
+    // and over the real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.select(col("doc_id"), Decontaminate.ngrams(col("text"), 8).as("g"))
+    val b = docs.select(col("doc_id"), Decontaminate.ngramsHof(col("text"), 8).as("g"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
