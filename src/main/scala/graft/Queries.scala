@@ -1190,7 +1190,7 @@ object Queries {
          |d AS (SELECT doc_id, source, CAST($coin AS BIGINT) AS coin FROM documents)
          |SELECT d.doc_id, d.source, d.coin, r.rate_bp
          |FROM d JOIN r ON d.source = r.source
-         |WHERE d.coin * 10000 < r.rate_bp * ${Splits.SampleBuckets}""".stripMargin
+         |WHERE d.coin * 10000 < greatest(r.rate_bp, 1) * ${Splits.SampleBuckets}""".stripMargin
     },
 
     // corpus-wide boilerplate: drop EVERY occurrence of a chunk norm seen

@@ -68,13 +68,22 @@ object Cluster {
   val Iters = 3
 
   /** Long-cast embeddings (doc_id, xs Array[Long]) — exact by construction
-    * ([[Embed.docEmbeddings]] accumulates ints), persisted because the
-    * Lloyd loop re-scans it iters+1 times.
+    * ([[Embed.docEmbeddings]] accumulates ints), materialized because the
+    * Lloyd loop re-scans it iters+1 times. The materialization is a
+    * reference-tracked RDD persist, not Dataset.persist: a Dataset persist
+    * inside a function returning a lazy frame leaks a CacheManager entry
+    * per call (no unpersist handle reaches the caller), while RDD persists
+    * are cleaned by the ContextCleaner once the returned plan is dropped —
+    * the same fix as Curation.manifest's stage boundary.
     */
   private[ops] def withXs(emb: DataFrame, idCol: String): DataFrame =
-    emb.select(col(idCol),
-        expr("transform(embedding, x -> CAST(x AS BIGINT))").as("xs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    rddPersisted(emb.select(col(idCol),
+      expr("transform(embedding, x -> CAST(x AS BIGINT))").as("xs")))
+
+  private def rddPersisted(df: DataFrame): DataFrame = {
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
 
   /** Argmin assignment under closure-shipped fixed-point centroids.
     * UDF justification: a k×dim argmin loop per row (128 long mults at the
@@ -177,9 +186,8 @@ object Cluster {
     val asg = kmeansCore(bx, idCol, k, iters)
     val n2 = aggregate(zip_with(col("xs"), col("xs"),
       (a: Column, b: Column) => a * b), lit(0L), (s: Column, v: Column) => s + v)
-    val docs = asg.select(col(idCol), col("cluster"), col("xs"))
-      .withColumn("n2", n2)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docs = rddPersisted(asg.select(col(idCol), col("cluster"), col("xs"))
+      .withColumn("n2", n2))
     val a = docs.select(col(idCol).as("id_a"), col("cluster"),
       col("xs").as("xs_a"), col("n2").as("na2"))
     val b = docs.select(col(idCol).as("id_b"), col("cluster"),

@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   * exchange carries (doc_id, hit) pairs that survive the broadcast join,
   * which at a sane contamination rate is a vanishing fraction of the
   * corpus. Eval sets are small by construction (thousands of documents),
-  * so the broadcast is the right default; if an eval set ever outgrew the
-  * broadcast threshold the same code degrades to a shuffled hash join on
-  * the gram rather than failing.
+  * so the broadcast is FORCED (an explicit hint — the gram set derives
+  * from an aggregation, so letting AQE discover its size costs planning a
+  * shuffle first). Forced means forced: an eval list too large for the
+  * driver would OOM the collect rather than degrade — a caller screening
+  * against a multi-GB gram list should drop the hint and shuffled-hash
+  * join on the gram instead (one-line change, deliberately not a flag
+  * here: the operator models the small-eval-set regime).
   */
 object Decontaminate {
 

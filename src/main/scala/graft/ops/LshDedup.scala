@@ -150,7 +150,7 @@ object LshDedup {
         val path = s"$d/labels_r$round"
         df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
         val back = spark.read.parquet(path)
-        if (round >= 2) deleteRecursive(new java.io.File(s"$d/labels_r${round - 2}"))
+        if (round >= 2) deletePath(spark, s"$d/labels_r${round - 2}")
         back
       case None => df.localCheckpoint()
     }
@@ -214,8 +214,16 @@ object LshDedup {
     full.select(col("doc_id"), col("winner"))
   }
 
-  private def deleteRecursive(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
-    f.delete(): Unit
+  /** Recursive delete through the Hadoop FileSystem of the path's scheme —
+    * the checkpoint dir is documented as HDFS/S3-backed on a real cluster,
+    * where java.io.File would be a silent no-op (delete() returning false)
+    * and every round's parquet would accumulate instead of the promised
+    * at-most-two.
+    */
+  private def deletePath(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true): Unit
   }
 }

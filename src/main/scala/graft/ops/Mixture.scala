@@ -70,6 +70,14 @@ object Mixture {
     * filter over one corpus scan. Pass a precomputed `mixture` to skip
     * the stats pass entirely (the report is usually computed once and
     * reviewed before being applied).
+    *
+    * The applied rate is floored at 1 bp: a source holding more than
+    * 10000x the minimum source's tokens reports rate_bp = 0 (the report
+    * states the true truncated ratio), but applying a literal zero would
+    * drop that source ENTIRELY — the head crawl silently vanishing from
+    * the mix is strictly worse than keeping ~1/10000 of it, and a
+    * token-balancing step must never zero a source. Mirrored in the q72
+    * oracle (greatest(rate_bp, 1)).
     */
   def applyMixture(docs: DataFrame, mixture: Option[DataFrame] = None): DataFrame = {
     val rates = mixture.getOrElse(sourceMixture(docs))
@@ -78,7 +86,7 @@ object Mixture {
       .withColumn("coin", Splits.bucketOf(col("doc_id"), MixSalt, Splits.SampleBuckets))
       .join(broadcast(rates), Seq("source"))
       .filter(col("coin") * lit(10000L) <
-        col("rate_bp") * lit(Splits.SampleBuckets.toLong))
+        greatest(col("rate_bp"), lit(1L)) * lit(Splits.SampleBuckets.toLong))
       .select(col("doc_id"), col("source"), col("coin"), col("rate_bp"))
   }
 }

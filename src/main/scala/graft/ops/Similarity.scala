@@ -288,7 +288,13 @@ object Similarity {
   def autoBits(n: Long, targetBucket: Long = 64L): Int = {
     val m = math.max(1L, (n + targetBucket - 1L) / targetBucket)
     val ceilLog2 = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
-    math.max(HyperplaneBits, ceilLog2)
+    // capped at 31: signatures pack into an Int and probe masks are
+    // `1 << i` Int shifts — bits = 33 (n ≈ 2×10^11 at the default target)
+    // would silently wrap the shift, collapsing hyperplanes 32 and 0 into
+    // one bit (wrong buckets, duplicate probes). Past the cap, buckets run
+    // larger than targetBucket instead of corrupting; widening sig to Long
+    // is the upgrade path if 2^31 buckets ever stops being enough.
+    math.min(31, math.max(HyperplaneBits, ceilLog2))
   }
 
   /** Deterministic pseudo-random hyperplane component w[bit][dim] in {-1,+1},
@@ -317,7 +323,11 @@ object Similarity {
       Array.tabulate(b, d)((bit, dd) => hyperplaneSign(bit, dd))
     })
 
-  private def signBitsU(bits: Int) = udf { (e: Seq[Float]) =>
+  private def signBitsU(bits: Int) = {
+    require(bits >= 1 && bits <= 31,
+      s"bits must be in [1, 31] (signatures pack into an Int; a wider " +
+        s"shift wraps and collapses hyperplanes), got $bits")
+    udf { (e: Seq[Float]) =>
     val hp = hyperplanes(bits, e.length)
     var sig = 0
     var bit = 0
@@ -330,6 +340,7 @@ object Similarity {
       bit += 1
     }
     sig
+  }
   }
 
   /** LSH-bucketed ANN: random-hyperplane sign buckets; candidates = bucket

@@ -91,10 +91,18 @@ object Vocab {
   def unigramScore(docs: DataFrame, vocab: Option[DataFrame] = None): DataFrame = {
     val counts = vocab.getOrElse(tokenStats(docs, minTf = 1L)).select(col("token"), col("tf"))
     val toks = docs.select(col("doc_id"), explode(asciiTokens(col("text"))).as("token"))
+    // LEFT join + coalesce(tf, 1), not inner: a vocab from tokenStats'
+    // default minTf=2 omits exactly the tokens with corpus tf = 1, whose
+    // weight floor(log2(1)) = 0 the coalesce reproduces EXACTLY — an inner
+    // join instead shrinks the denominator, making a gibberish doc full of
+    // unique tokens score HIGH on its few common words (the opposite of
+    // the signal's purpose). Same discipline as [[tfidfKeywords]]'s
+    // dfTable; spec-pinned at the default-minTf vocab.
     val perDoc = toks
-      .join(counts, Seq("token"))
+      .join(counts, Seq("token"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(log2Floor(col("tf"))).as("l2sum"), count(lit(1)).as("n_tokens"))
+      .agg(sum(log2Floor(coalesce(col("tf"), lit(1L)))).as("l2sum"),
+        count(lit(1)).as("n_tokens"))
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -262,18 +262,30 @@ object SnapshotTable {
     * `<root>/data`. Walks current -> parent (ids are sequential by
     * construction); buckets commit exactly once, so entries never collide.
     */
+  /** Per-committed-bucket read paths from the manifest chain. A lineage
+    * entry WITH a `files` list contributes exactly those files (the
+    * Iceberg contract); an entry WITHOUT one — written by a pre-file-level
+    * manifest build — falls back to its whole `bucket=N/` directory
+    * (marker: a path ending in "/"), so resuming a legacy table under this
+    * build cannot silently lose the legacy buckets' rows (a chain-wide
+    * any-files-present check would: one new-format commit would hide every
+    * old-format bucket).
+    */
   private[table] def manifestFiles(root: String): Seq[String] = {
     val dir = snapshotsDir(root)
     if (!Files.exists(dir.resolve("current"))) return Seq.empty
-    val entry = """"bucket":(\d+)[^}]*?"files":\[([^\]]*)\]""".r
+    val entry = """"bucket":(\d+)(?:[^}]*?"files":\[([^\]]*)\])?""".r
     (1 to currentSnapshotId(root)).flatMap { id =>
       val json = Files.readString(dir.resolve(s"v$id.json"))
       entry.findAllMatchIn(json).flatMap { m =>
         val bucket = m.group(1)
-        m.group(2).split(",").iterator
-          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty)
-          .map(f => s"bucket=$bucket/$f")
+        Option(m.group(2)) match {
+          case None => Iterator(s"bucket=$bucket/") // legacy entry: whole dir
+          case Some(fs) => fs.split(",").iterator
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty)
+            .map(f => s"bucket=$bucket/$f")
+        }
       }
     }
   }
@@ -287,7 +299,7 @@ object SnapshotTable {
     val files = manifestFiles(root)
     if (files.isEmpty) spark.read.parquet(s"$root/data") // no/empty snapshot: surface the scan error
     else spark.read.option("basePath", s"$root/data")
-      .parquet(files.map(f => s"$root/data/$f"): _*)
+      .parquet(files.map(f => s"$root/data/${f.stripSuffix("/")}"): _*)
   }
 
   /** Lineage/metrics table. */

@@ -62,4 +62,21 @@ class MixtureSpec extends AnyFunSuite {
     val pre = Mixture.applyMixture(docs, Some(rates))
     assert(out.exceptAll(pre).isEmpty && pre.exceptAll(out).isEmpty)
   }
+
+  test("applyMixture: a reported rate_bp of 0 keeps ~1bp of the source, never zero") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a source >10000x the min's tokens reports floor(...) = 0; applying a
+    // literal 0 would drop the whole source — the floor keeps coin < 1bp
+    val docs = (1L to 30000L).map(i => (i, "headcrawl")).toDF("doc_id", "source")
+    val rates = Seq(("headcrawl", 0L)).toDF("source", "rate_bp")
+    val kept = Mixture.applyMixture(docs, Some(rates))
+    val expected = docs
+      .withColumn("coin",
+        Splits.bucketOf(col("doc_id"), Mixture.MixSalt, Splits.SampleBuckets))
+      .filter(col("coin") * lit(10000L) < lit(Splits.SampleBuckets.toLong))
+      .count()
+    assert(expected > 0, "fixture must land at least one sub-1bp coin")
+    assert(kept.count() == expected)
+  }
 }

@@ -85,6 +85,10 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.autoBits(64L << 20) == 20) // ~6.7e7 vectors
     assert(Similarity.autoBits(1000000000L) == 24) // 10^9 vectors
     assert(Similarity.autoBits((64L << 20) + 1) == 21) // strict ceil
+    // capped at 31: signatures pack into an Int; bits=33 at ~2e11 vectors
+    // would wrap `1 << 32` and collapse hyperplane 32 into 0
+    assert(Similarity.autoBits(300000000000L) == 31)
+    assert(Similarity.autoBits(Long.MaxValue / 2) == 31)
   }
 
   test("ANN-LSH hyperplanes are non-degenerate (no row equal or antipodal)") {

@@ -122,4 +122,24 @@ class VocabSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     assert(a.count() == docs.count())
   }
+
+  test("unigramScore: a minTf=2 (default) vocab still weights tf=1 tokens as log2(1)=0") {
+    // a token cut by the default minTf=2 has corpus tf exactly 1, whose
+    // weight floor(log2(1)) = 0 the left join + coalesce reproduces — an
+    // inner join would shrink the denominator and score gibberish HIGH
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unicorn common common"), // unicorn: corpus tf = 1, cut at minTf=2
+      (2L, "common common rare rare"),
+      (3L, "common rare mid mid")).toDF("doc_id", "text")
+    val defVocab = Vocab.tokenStats(docs) // default minTf = 2
+    assert(!defVocab.collect().map(_.getString(0)).contains("unicorn"))
+    val a = Vocab.unigramScore(docs)
+    val b = Vocab.unigramScore(docs, vocab = Some(defVocab))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and the absolute value: doc1 = (log2(5)=2) + (0 for unicorn) ... over
+    // 3 tokens; common tf=5 -> weight 2; floor((2+2+0)*10000/3) = 13333
+    val d1 = b.filter($"doc_id" === 1L).head()
+    assert(d1.getLong(1) == 3L && d1.getLong(2) == 13333L, d1.toString)
+  }
 }

@@ -138,4 +138,31 @@ class SnapshotTableSpec extends AnyFunSuite {
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(got.toSeq == expected.toSeq, "partial uncommitted data must not leak into the table")
   }
+
+  test("mixed manifest chain: buckets committed by a pre-file-level build stay visible") {
+    val root = Files.createTempDirectory("snap3").toString
+    val docs = Corpus.docsTable(spark, sfDir)
+    val nBuckets = 4
+
+    // v1 commits 2 buckets, then simulate a LEGACY manifest by stripping
+    // its per-bucket "files" lists (the pre-file-level format)
+    SnapshotTable.runResumable(docs, pipeline, root, nBuckets, maxBucketsPerRun = 2)
+    val v1 = java.nio.file.Paths.get(s"$root/_snapshots/v1.json")
+    val legacy = Files.readString(v1).replaceAll(""","files":\[[^\]]*\]""", "")
+    assert(!legacy.contains("\"files\""), "fixture must strip all files lists")
+    Files.writeString(v1, legacy)
+
+    // v2 commits the remaining buckets under the NEW format
+    SnapshotTable.runResumable(docs, pipeline, root, nBuckets)
+
+    // read-back must include the legacy buckets (per-bucket dir fallback),
+    // not just v2's file-listed ones
+    val got = SnapshotTable.read(root).drop("bucket")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val expected = pipeline(docs)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.length == expected.length,
+      s"legacy-committed buckets lost on read-back: ${got.length} vs ${expected.length}")
+    assert(got.toSeq == expected.toSeq)
+  }
 }
