@@ -1011,8 +1011,9 @@ object Queries {
          |c AS (SELECT doc_id, n_tokens,
          |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM w)
-         |SELECT doc_id, n_tokens, cum_before,
-         |  cum_before // $b AS seq_id, cum_before % $b AS seq_offset FROM c""".stripMargin
+         |SELECT doc_id, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
+         |  CAST(cum_before // $b AS BIGINT) AS seq_id,
+         |  CAST(cum_before % $b AS BIGINT) AS seq_offset FROM c""".stripMargin
     },
 
     "q58_vocab" ->
