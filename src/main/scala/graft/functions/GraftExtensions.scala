@@ -58,6 +58,13 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "float_dot(a, b) takes 2 arguments")
         FloatDotExpr(exprs(0), exprs(1))
+      }),
+    (FunctionIdentifier("long_dot"),
+      info("long_dot",
+        "long_dot(arr, arr) - exact int64 dot product of two bigint arrays (the SemDeDup pair kernel)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "long_dot(a, b) takes 2 arguments")
+        LongDotExpr(exprs(0), exprs(1))
       }))
 
   /** Register the graft SQL functions on an existing session (idempotent —

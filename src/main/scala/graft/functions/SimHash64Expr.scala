@@ -129,6 +129,49 @@ object FloatDotEval {
   }
 }
 
+/** Static eval target for the long-vector dot product (the SemDeDup pair
+  * kernel): exact int64 arithmetic, identical to the
+  * aggregate(zip_with(a, b, _*_), 0, _+_) fold it replaces — integer adds
+  * are associative, so there is no order sensitivity to preserve.
+  */
+object LongDotEval {
+  def eval(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+}
+
+/** Dot product over two Array[Long] columns as a codegen expression — the
+  * integer twin of [[FloatDotExpr]], for the same reason: the HOF
+  * aggregate-over-zip_with fold is interpreted per ELEMENT and dominated
+  * the SemDeDup cluster-pair join (q70) where it ran once per candidate
+  * pair.
+  */
+case class LongDotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LongDotEval.eval(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.LongDotEval.eval($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Dot product over two Array[Float] columns as a codegen expression.
   * The built-in formulation (aggregate over zip_with) is interpreted —
   * higher-order functions have no doGenCode — and costs ~100x more per pair

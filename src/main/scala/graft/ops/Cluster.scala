@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Embedding-space clustering + cluster-pruned semantic dedup — the two
   * operators a curation pipeline runs between near-dup removal and final
@@ -81,7 +80,7 @@ object Cluster {
       expr("transform(embedding, x -> CAST(x AS BIGINT))").as("xs")))
 
   private def rddPersisted(df: DataFrame): DataFrame = {
-    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df.sparkSession.createDataFrame(rdd, df.schema)
   }
 
@@ -184,16 +183,17 @@ object Cluster {
       thresholdBp: Long = SemDedupBp, k: Int = K, iters: Int = Iters): DataFrame = {
     val bx = withXs(emb, idCol)
     val asg = kmeansCore(bx, idCol, k, iters)
-    val n2 = aggregate(zip_with(col("xs"), col("xs"),
-      (a: Column, b: Column) => a * b), lit(0L), (s: Column, v: Column) => s + v)
+    // native codegen int64 dots (Exprs.longDot) — the former interpreted
+    // aggregate(zip_with(...)) HOF fold ran per candidate PAIR and was the
+    // q70 bench's dominant cost; exact integer arithmetic either way
+    val n2 = Exprs.longDot(col("xs"), col("xs"))
     val docs = rddPersisted(asg.select(col(idCol), col("cluster"), col("xs"))
       .withColumn("n2", n2))
     val a = docs.select(col(idCol).as("id_a"), col("cluster"),
       col("xs").as("xs_a"), col("n2").as("na2"))
     val b = docs.select(col(idCol).as("id_b"), col("cluster"),
       col("xs").as("xs_b"), col("n2").as("nb2"))
-    val dot = aggregate(zip_with(col("xs_a"), col("xs_b"),
-      (x: Column, y: Column) => x * y), lit(0L), (s: Column, v: Column) => s + v)
+    val dot = Exprs.longDot(col("xs_a"), col("xs_b"))
     // zero-norm guard BEFORE the cosine: NaN orders differently across
     // engines (Spark: NaN >= t is false; DuckDB: NaN sorts above all)
     val cosBp = floor(dot.cast("double") /

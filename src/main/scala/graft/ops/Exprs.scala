@@ -102,6 +102,18 @@ object Exprs {
       graft.functions.Fnv1a64Expr(
         org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 
+  /** Exact int64 dot product over two Array[Long] columns — native codegen
+    * twin of the interpreted aggregate(zip_with(a, b, _*_)) fold (the
+    * SemDeDup pair kernel; same justification as [[FloatDotExpr]] in
+    * Similarity.dot). Integer adds are associative, so fold order cannot
+    * diverge.
+    */
+  def longDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.LongDotExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
   /** Code-point rolling hash (h*31 + cp mod 1e9+7) — native twin of the
     * interpreted aggregate(transform(split(text, ''), ascii)) fold
     * (graft.functions.RollingHashExpr); parity locked by ExprSpec.

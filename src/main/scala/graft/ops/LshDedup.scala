@@ -30,7 +30,17 @@ object LshDedup {
     */
   def nearDupPairs(sigs: DataFrame, threshold: Int): DataFrame = {
     require(threshold < Bands, s"banded LSH with $Bands bands has exact recall only for threshold < $Bands")
-    val banded = sigs.select(
+    // Materialize the signature table ONCE (lazy localCheckpoint — no eager
+    // job; first action fills the blocks): the self-join's two sides each
+    // re-evaluated the full upstream sig computation (scan + normalize +
+    // simhash, the dominant per-row cost), and the join-key null filter the
+    // planner pushes into each side's scan evaluated it a second time per
+    // side (filter + project, no cross-operator CSE) — 4 evaluations per
+    // doc where one suffices. The checkpoint caches 16 bytes/doc
+    // (doc_id, sig) — scale-safe metadata, the same "decide on small rows"
+    // discipline as the band projection itself.
+    val snap = sigs.select(col("doc_id"), col("sig")).localCheckpoint(eager = false)
+    val banded = snap.select(
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(Bands - 1))).as("band"))
       .withColumn("band_key",
@@ -152,7 +162,14 @@ object LshDedup {
         val back = spark.read.parquet(path)
         if (round >= 2) deletePath(spark, s"$d/labels_r${round - 2}")
         back
-      case None => df.localCheckpoint()
+      case None =>
+        // LAZY localCheckpoint: the same lineage truncation + internal-row
+        // block caching as the former eager call, minus its dedicated job —
+        // the round's single stats action below materializes the blocks, so
+        // a round costs ONE job where the former localCheckpoint + count +
+        // sum structure ran three. Blocks are reclaimed by the
+        // ContextCleaner as each round's frame is dropped.
+        df.localCheckpoint(eager = false)
     }
     // symmetric edge list, pre-partitioned on the message key: every round
     // joins edges with the delta on y, and the persisted hash partitioning
@@ -181,10 +198,18 @@ object LshDedup {
         .join(delta.withColumnRenamed("doc_id", "y"), Seq("y"))
         .groupBy(col("x").as("doc_id"))
         .agg(min(col("winner")).as("msg"), count(lit(1)).as("n_msgs"))
-      val upd = labels.join(msgs, Seq("doc_id"), "left")
+      val updPlan = labels.join(msgs, Seq("doc_id"), "left")
         .select(col("doc_id"), col("prev"),
           least(col("prev"), coalesce(col("msg"), col("prev"))).as("w1"),
           coalesce(col("n_msgs"), lit(0L)).as("n_msgs"))
+      // Lazily truncate upd once per round: the jump step below references
+      // upd FIVE times (changed filter, stale semi-join, lookup side, and
+      // the final join); unmaterialized, each reference re-evaluated the
+      // labels⋈msgs join subtree within the round's job.
+      // (SPARK_GRAFT_CC_UPD=plain disables the truncation — dev A/B knob.)
+      val upd =
+        if (sys.env.get("SPARK_GRAFT_CC_UPD").contains("plain")) updPlan
+        else updPlan.localCheckpoint(eager = false)
       // (2) pointer jump for the live set: rows that changed this round,
       //     plus rows whose pointer TARGET changed this round (their
       //     w1(w1(x)) just dropped) — staleness never accumulates, and the
@@ -203,8 +228,13 @@ object LshDedup {
             coalesce(col("jumpw"), col("w1")).as("winner"),
             col("prev"), col("n_msgs")),
         round)
-      val changed = next.filter(col("winner") =!= col("prev")).count()
-      val processed = next.agg(coalesce(sum(col("n_msgs")), lit(0L))).head.getLong(0)
+      // ONE action for both round statistics (formerly a count job PLUS a
+      // sum job — two full passes over the checkpointed labels per round)
+      val statRow = next.agg(
+        coalesce(sum(when(col("winner") =!= col("prev"), 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(col("n_msgs")), lit(0L))).head
+      val changed = statRow.getLong(0)
+      val processed = statRow.getLong(1)
       stats.foreach(_ += CcRoundStat(round, changed, processed))
       delta = next.filter(col("winner") =!= col("prev")).select(col("doc_id"), col("winner"))
       full = next

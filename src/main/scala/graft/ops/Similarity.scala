@@ -50,6 +50,13 @@ object Similarity {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") > maxDocs)
       .select(col("h"))
+    // Measured (r6): materializing a (doc_id, id, idx, md5) projection once
+    // (lazy localCheckpoint) and serving both branches from it benched the
+    // same-to-slightly-worse as this double-pass under matched conditions
+    // (~1.55 s vs ~1.50 s at sf0.1): the two chunker passes stream inside
+    // whole-stage codegen, while the materialization pays row copies +
+    // block I/O and costs the anti-join its broadcast until AQE remeasures
+    // (LogicalRDD has no size stats). Kept double-pass, eyes open.
     chunks
       .join(heavy, md5(col("norm")) === col("h"), "left_anti")
       .select(col("doc_id"), col("id"), col("idx"))
@@ -190,7 +197,12 @@ object Similarity {
   def minhashLshPairs(docs: DataFrame, n: Int, minAgree: Int,
       bands: Int = MinHashBands, rowsPerBand: Int = MinHashFns / MinHashBands): DataFrame = {
     require(bands > 0 && rowsPerBand > 0, "bands and rowsPerBand must be positive")
+    // lazy localCheckpoint: both self-join sides (and their pushed null
+    // filters) re-evaluated the shingle + minhash UDF pipeline — the
+    // dominant cost — up to 4x per doc; the cached (doc_id, sig, set_size)
+    // rows are ~150 bytes/doc (same rationale as LshDedup.nearDupPairs)
     val sigs = minhashSignatures(docs, n, bands * rowsPerBand)
+      .localCheckpoint(eager = false)
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bslice", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
@@ -360,9 +372,14 @@ object Similarity {
   def annLshTopK(emb: DataFrame, k: Int, bits: Int = 0,
       probe: Boolean = true): DataFrame = {
     val nbits = if (bits > 0) bits else autoBits(emb.count())
+    // lazy localCheckpoint: the probe side and the neighbor side each
+    // re-evaluated the signature UDF + norm over the full scan (plus the
+    // pushed join-key null filter's second evaluation); one materialization
+    // serves both (same rationale as LshDedup.nearDupPairs)
     val sigs = emb.select(col("vec_id"), col("embedding"),
       signBitsU(nbits)(col("embedding")).as("bucket"),
       norm2(col("embedding")).as("nrm"))
+      .localCheckpoint(eager = false)
     // single-bit-flip probe buckets, built driver-side (NOT sequence():
     // sequence(0,-1) is a descending [0,-1], not empty)
     val probeArr =
@@ -378,7 +395,15 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_bp",
         floor(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")) * 10000))
-      .select("query_id", "neighbor_id", "cos_bp").distinct()
+      // no distinct: (query_id, neighbor_id) pairs are unique by
+      // construction — the query side's probe buckets (bucket plus its
+      // single-bit flips) are pairwise-distinct Int values and each
+      // neighbor carries exactly ONE bucket, so the equi-join matches any
+      // pair at most once. The former defensive .distinct() was a full
+      // Exchange+HashAggregate over the candidate set (the plan's largest
+      // row volume) AND it blocked WindowGroupLimit from pruning the
+      // top-k map-side before the only remaining exchange.
+      .select("query_id", "neighbor_id", "cos_bp")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w).cast("long"))
@@ -401,9 +426,11 @@ object Similarity {
   def embeddingNearDupPairsLsh(emb: DataFrame, thresholdBp: Long,
       bits: Int = 0, probe: Boolean = true): DataFrame = {
     val nbits = if (bits > 0) bits else autoBits(emb.count())
+    // lazy localCheckpoint — same double-evaluation fix as annLshTopK
     val sigs = emb.select(col("vec_id"), col("embedding"),
       signBitsU(nbits)(col("embedding")).as("bucket"),
       norm2(col("embedding")).as("nrm"))
+      .localCheckpoint(eager = false)
     val probeArr =
       if (probe) array((col("bucket") +: (0 until nbits).map(i =>
         col("bucket").bitwiseXOR(lit(1 << i)))): _*)
@@ -417,7 +444,12 @@ object Similarity {
       .withColumn("cos_bp",
         floor(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")) * 10000))
       .filter(col("cos_bp") >= thresholdBp)
-      .select("id_a", "id_b", "cos_bp").distinct()
+      // no distinct: a pair (id_a < id_b) can only surface via the a-side
+      // row of id_a, whose probe buckets are pairwise-distinct, against
+      // id_b's single bucket — at most one join match per pair (same
+      // argument as annLshTopK). Dropping the defensive .distinct()
+      // removes a full Exchange+HashAggregate of the surviving pairs.
+      .select("id_a", "id_b", "cos_bp")
   }
 
   /** IVF-style ANN (the second scale path, complementing [[annLshTopK]]):
@@ -474,8 +506,12 @@ object Similarity {
       }.sortBy { case (cid, csim) => (-csim, cid) }
         .take(nprobe).map(_._1)
     }
+    // lazy localCheckpoint: the assignment side and the probe side each
+    // re-evaluated the k-centroid scoring UDF over the full scan; one
+    // materialization serves both (same rationale as annLshTopK's sigs)
     val base = emb.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("nrm"), probesU(col("embedding")).as("pcells"))
+      .localCheckpoint(eager = false)
     val assign = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_n"),
       col("nrm").as("n_n"), element_at(col("pcells"), 1).as("cell"))
     val probes = base.select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
@@ -484,7 +520,13 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_bp",
         floor(dot(col("e_q"), col("e_n")) / (col("n_q") * col("n_n")) * 10000))
-      .select("query_id", "neighbor_id", "cos_bp").distinct()
+      // no distinct: every neighbor is assigned to exactly ONE cell and a
+      // query's probed cells (top-nprobe centroid ids) are distinct, so the
+      // cell equi-join yields each (query_id, neighbor_id) at most once.
+      // The former defensive .distinct() was the plan's biggest operator —
+      // an Exchange+HashAggregate over n*nprobe*|cell| candidate rows —
+      // and kept WindowGroupLimit from pruning top-k before the exchange.
+      .select("query_id", "neighbor_id", "cos_bp")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w).cast("long"))

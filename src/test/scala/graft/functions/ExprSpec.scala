@@ -137,6 +137,27 @@ class ExprSpec extends AnyFunSuite {
     assert(dot == 1.5 * 4 + 2 * 0.5, dot.toString)
   }
 
+  test("LongDotExpr == interpreted aggregate(zip_with) fold (the semDedup kernel)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (Seq(0L, 0L, 0L), Seq(1L, 2L, 3L)),
+      (Seq(1L, -2L, 3L), Seq(-4L, 5L, 6L)),
+      (Seq(1000000L, 2000000L, -3000000L), Seq(7L, -11L, 13L)),
+      (Seq.empty[Long], Seq.empty[Long]))
+    val df = vecs.toDF("a", "b")
+    val got = df.select(
+      Exprs.longDot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) => x * y),
+        lit(0L), (s: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) => s + v).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // null column degrades to null, matching the HOF fold
+    val nullRow = df.select(Exprs.longDot(lit(null).cast("array<bigint>"), col("b")))
+      .head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("expression stays inside whole-stage codegen") {
     // a parquet-backed frame (local Seqs get constant-folded to a
     // LocalTableScan, which would bypass codegen entirely)

@@ -64,6 +64,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r >= 0.9, s"LSH planted recall $r")
   }
 
+  test("LSH/IVF candidates are unique pairs with NO distinct (r6 invariant)") {
+    // the r6 optimization removed the defensive .distinct() from the three
+    // bucketed candidate generators on the argument that the bucket join
+    // can match a pair at most once (probe values pairwise-distinct, one
+    // bucket/cell per neighbor); this pins the FULL candidate sets, not
+    // just the top-k survivors
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val lsh = Similarity.annLshTopK(emb, Int.MaxValue, bits = Similarity.HyperplaneBits)
+    assert(lsh.count() ==
+      lsh.select("query_id", "neighbor_id").distinct().count())
+    val ivf = Similarity.annIvfTopK(emb, Int.MaxValue)
+    assert(ivf.count() ==
+      ivf.select("query_id", "neighbor_id").distinct().count())
+    val pairs = Similarity.embeddingNearDupPairsLsh(emb, -10001L, bits = 6)
+    assert(pairs.count() ==
+      pairs.select("id_a", "id_b").distinct().count())
+  }
+
   test("asciiLower: lowers only A-Z, leaving İ/ß-class characters untouched") {
     // cross-engine discipline: Java toLowerCase full-maps U+0130 'İ' to
     // "i"+combining-dot while DuckDB's utf8proc simple-maps it — so the
