@@ -199,8 +199,12 @@ object Corpus {
       // production table gets from its scan. EXPLICIT count: AQE sizes
       // coalescing by the exchange's bytes, which are tiny BEFORE the
       // corpus expansion — it coalesced this to 1 task (observed);
-      // user-specified counts are exempt.
-      .repartition(spark.sparkContext.defaultParallelism * 4, col("src_id"))
+      // user-specified counts are exempt. The oversubscription factor is
+      // parameterised (SPARK_GRAFT_INPUT_SPREAD): x4 smooths doc-length
+      // skew across the scaling legs; see OPTIMIZATION_r06.md for the
+      // measured local sensitivity.
+      .repartition(spark.sparkContext.defaultParallelism *
+        sys.env.getOrElse("SPARK_GRAFT_INPUT_SPREAD", "4").toInt, col("src_id"))
     val base =
       if (replicate <= 1) base0.withColumn("doc_id", col("src_id"))
       else base0
