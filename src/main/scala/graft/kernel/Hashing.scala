@@ -60,10 +60,40 @@ object Hashing {
 
   /** Byte-level core of [[simhash64]] — also the codegen target of the
     * Catalyst expression (works straight off UTF8String bytes).
+    *
+    * Counting is SWAR (SIMD-within-a-register) positional popcount, not the
+    * textbook per-bit loop: eight accumulator longs, where `acc(j)` holds
+    * eight 8-bit lanes counting bits {j, j+8, ..., j+56} of each gram hash
+    * (`(hash >>> j) & 0x0101...01` drops exactly those bits into the lane
+    * bytes). Lanes saturate at 255 grams, so they are flushed into 64-bit
+    * totals every 255 grams. Equivalence to the reference's +/-1 counter
+    * (dedupe.go:150-185) is exact arithmetic, not approximation: with o =
+    * ones-count of a bit over n grams, the reference counter is
+    * o - (n - o) = 2o - n, and "counter strictly > 0" is "2o > n" — the
+    * per-gram work drops from a 64-iteration branchy loop to 8 shift-mask-
+    * adds (the kernel's dominant cost in the pipeline profile; jstack put
+    * simhash64Bytes at ~28% of active executor samples before this).
     */
   def simhash64Bytes(bytes: Array[Byte], k: Int): Long = {
     if (k <= 0 || bytes.length < k) return 0L
-    val vector = new Array[Int](64)
+    val nGrams: Long = (bytes.length - k + 1).toLong
+    val ones = new Array[Long](64)
+    val acc = new Array[Long](8)
+    val M = 0x0101010101010101L
+    def flush(): Unit = {
+      var j = 0
+      while (j < 8) {
+        val a = acc(j)
+        var b = 0
+        while (b < 8) {
+          ones(j + 8 * b) += (a >>> (8 * b)) & 0xffL
+          b += 1
+        }
+        acc(j) = 0L
+        j += 1
+      }
+    }
+    var sinceFlush = 0
     var i = 0
     while (i <= bytes.length - k) {
       // inline fnv1a64 over the window — no per-gram allocation
@@ -75,17 +105,23 @@ object Hashing {
         hash *= FnvPrime64
         j += 1
       }
-      var bit = 0
-      while (bit < 64) {
-        if (((hash >>> bit) & 1L) != 0L) vector(bit) += 1 else vector(bit) -= 1
-        bit += 1
-      }
+      acc(0) += hash & M
+      acc(1) += (hash >>> 1) & M
+      acc(2) += (hash >>> 2) & M
+      acc(3) += (hash >>> 3) & M
+      acc(4) += (hash >>> 4) & M
+      acc(5) += (hash >>> 5) & M
+      acc(6) += (hash >>> 6) & M
+      acc(7) += (hash >>> 7) & M
+      sinceFlush += 1
+      if (sinceFlush == 255) { flush(); sinceFlush = 0 }
       i += 1
     }
+    if (sinceFlush > 0) flush()
     var signature = 0L
     var bit = 0
     while (bit < 64) {
-      if (vector(bit) > 0) signature |= (1L << bit)
+      if (2L * ones(bit) > nGrams) signature |= (1L << bit)
       bit += 1
     }
     signature
@@ -94,11 +130,27 @@ object Hashing {
   /** Hamming distance = popcount(a ^ b) (reference: internal/dedupe/dedupe.go:188-190). */
   def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** Lowercase-hex SHA1 (reference: internal/dedupe/dedupe.go:92-93). */
+  private val sha1Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("SHA-1"))
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase-hex SHA1 (reference: internal/dedupe/dedupe.go:92-93).
+    * Thread-local digest instance (getInstance per call allocated and did a
+    * provider lookup per chunk) and table-driven hex (the f-interpolator
+    * built a java.util.Formatter per BYTE).
+    */
   def sha1Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-1").digest(s.getBytes(UTF_8))
-    val sb = new StringBuilder(40)
-    for (b <- d) sb.append(f"${b & 0xff}%02x")
-    sb.toString
+    val md = sha1Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(UTF_8))
+    val out = new Array[Char](40)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 }

@@ -20,9 +20,17 @@ object QLoop {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // "pipeline" pseudo-name: the Bench headline (outputSpans over the
+    // replicated corpus) so the hot loop can be stack-sampled too
+    def run(): Long =
+      if (name == "pipeline") {
+        val docs = graft.ops.Corpus.docsTable(spark, sfDir,
+          sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "8").toInt)
+        graft.jobs.ExtractionJob.outputSpans(docs)(spark).count()
+      } else graft.Queries.queries(name)(spark, sfDir).count()
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = graft.Queries.queries(name)(spark, sfDir).count()
+      val n = run()
       println(f"rep $r: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
     }
     spark.stop()

@@ -45,6 +45,43 @@ class DedupeKernelSpec extends AnyFunSuite {
   test("simhash: identical -> identical") {
     assert(simhash64("this is a test", 5) == simhash64("this is a test", 5))
   }
+
+  test("simhash: SWAR positional counting == textbook per-bit counter (r6)") {
+    // the r6 optimization replaced the 64-iteration +/-1 loop with SWAR
+    // lane accumulation; this pins exact equivalence on adversarial sizes
+    // (flush boundary 255 grams, +/-1, long runs, all-zero/all-ff bytes,
+    // multibyte UTF-8) against an inline textbook implementation
+    def naive(bytes: Array[Byte], k: Int): Long = {
+      if (k <= 0 || bytes.length < k) return 0L
+      val vector = new Array[Int](64)
+      var i = 0
+      while (i <= bytes.length - k) {
+        var hash = Hashing.FnvOffsetBasis64
+        var j = i
+        while (j < i + k) { hash ^= (bytes(j) & 0xffL); hash *= Hashing.FnvPrime64; j += 1 }
+        var bit = 0
+        while (bit < 64) {
+          if (((hash >>> bit) & 1L) != 0L) vector(bit) += 1 else vector(bit) -= 1
+          bit += 1
+        }
+        i += 1
+      }
+      (0 until 64).foldLeft(0L)((s, b) => if (vector(b) > 0) s | (1L << b) else s)
+    }
+    val rnd = new scala.util.Random(42)
+    val sizes = Seq(1, 4, 5, 6, 254, 255, 256, 258, 259, 260, 509, 510, 511, 1024, 5000)
+    for (n <- sizes; k <- Seq(1, 2, 5, 8)) {
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      assert(Hashing.simhash64Bytes(b, k) == naive(b, k), s"n=$n k=$k random")
+      val zeros = new Array[Byte](n)
+      assert(Hashing.simhash64Bytes(zeros, k) == naive(zeros, k), s"n=$n k=$k zeros")
+      val ffs = Array.fill[Byte](n)(0xff.toByte)
+      assert(Hashing.simhash64Bytes(ffs, k) == naive(ffs, k), s"n=$n k=$k ff")
+    }
+    val uni = ("café über ναι 日本語テキスト " * 40).getBytes("UTF-8")
+    for (k <- Seq(2, 5))
+      assert(Hashing.simhash64Bytes(uni, k) == naive(uni, k), s"utf8 k=$k")
+  }
   test("simhash: similar -> close") {
     val a = simhash64("this is a test string for simhash", 5)
     val b = simhash64("this is a test string for simhash with small change", 5)
