@@ -13,6 +13,38 @@ class HtmlLayoutSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("visibleText fused scan == regex chain, byte for byte (r6)") {
+    import spark.implicits._
+    // adversarial fixtures: unclosed tags, '<' inside a tag body, entity
+    // chains that must NOT cascade, bare '&'/'<', ws runs incl. CRLF and a
+    // literal NBSP (not in the collapse class), leading/trailing ws, empty
+    val fixtures = Seq(
+      "", "&", "<", ">", "plain text",
+      "<p>a</p>", "a<b<c>d", "x<unclosed", "<a>>y",
+      "&amp;lt; stays &lt; becomes", "&quot;q&quot; &#39;a&#39;",
+      "a&nbsp;\tb", "&copy;2026 &copy;x", "&ampx &lt", "&gt;&lt;&amp;",
+      " \t\r\n lead and trail \n ", "a  \r\n  b", "café non-break",
+      "<a href=\"/x\">link</a> tail", "<script>1<2</script>",
+      "😀<b>emoji</b>😀")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Corpus.htmlCol(col("doc_id").cast("string"), col("text")).as("h"))
+      .unionByName(fixtures.toDF("h"))
+      // the per-block shape q44/q45 actually feed through visibleText
+      .select(explode(split(col("h"), Html.BlockSplit)).as("h"))
+    val diff = corpus.select(
+        Html.visibleText(col("h")).as("fused"),
+        Html.visibleTextChain(col("h")).as("chain"))
+      .filter(!(col("fused") <=> col("chain")))
+      .count()
+    assert(diff == 0L)
+    // and on the raw fixtures without block splitting
+    val diff2 = fixtures.toDF("h").select(
+        Html.visibleText(col("h")).as("fused"),
+        Html.visibleTextChain(col("h")).as("chain"))
+      .filter(!(col("fused") <=> col("chain"))).count()
+    assert(diff2 == 0L)
+  }
+
   test("html blocks: nav/footer classified boilerplate, body paragraphs content") {
     import spark.implicits._
     val docs = Seq(("d1", "a body paragraph long enough to count as real content here")).toDF("doc_id", "text")
