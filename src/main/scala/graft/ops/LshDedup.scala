@@ -31,33 +31,56 @@ object LshDedup {
   def nearDupPairs(sigs: DataFrame, threshold: Int): DataFrame = {
     require(threshold < Bands, s"banded LSH with $Bands bands has exact recall only for threshold < $Bands")
     // Materialize the signature table ONCE (lazy localCheckpoint — no eager
-    // job; first action fills the blocks): the self-join's two sides each
-    // re-evaluated the full upstream sig computation (scan + normalize +
-    // simhash, the dominant per-row cost), and the join-key null filter the
-    // planner pushes into each side's scan evaluated it a second time per
-    // side (filter + project, no cross-operator CSE) — 4 evaluations per
-    // doc where one suffices. The checkpoint caches 16 bytes/doc
-    // (doc_id, sig) — scale-safe metadata, the same "decide on small rows"
-    // discipline as the band projection itself.
+    // job; first action fills the blocks): the join sides below otherwise
+    // each re-evaluated the full upstream sig computation (scan + normalize
+    // + simhash, the dominant per-row cost), and the join-key null filter
+    // the planner pushes into each side's scan evaluated it a second time
+    // per side (filter + project, no cross-operator CSE). The checkpoint
+    // caches 16 bytes/doc (doc_id, sig) — scale-safe metadata.
     val snap = sigs.select(col("doc_id"), col("sig")).localCheckpoint(eager = false)
-    val banded = snap.select(
-      col("doc_id"), col("sig"),
+    // The band self-join runs over DISTINCT signatures, and doc pairs are
+    // expanded afterwards (guide §8: decide on small rows, expand to the
+    // output). With per-doc-unique sigs this is the same join one exchange
+    // earlier; when identical-sig groups exist — exact duplicates, the
+    // dominant real-corpus case — the former doc-level self-join did
+    // |group|^2 comparisons PER SHARED BAND (x8) plus a distinct over the
+    // duplicated clique pairs, where this shape pays |group|^2 exactly
+    // once, in the output-sized expansion join (measured on the 10x
+    // identical-replica probe: the doc-level band join was the dominant
+    // cost at 58 s; see OPTIMIZATION_r06.md).
+    val distinctSigs = snap.select(col("sig")).distinct()
+    val banded = distinctSigs.select(
+      col("sig"),
       explode(sequence(lit(0), lit(Bands - 1))).as("band"))
       .withColumn("band_key",
         expr(s"shiftrightunsigned(sig, band * $BandBits)")
           .bitwiseAND(lit((1L << BandBits) - 1)))
-    val a = banded.select(
-      col("band"), col("band_key"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(
-      col("band"), col("band_key"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
+    val a = banded.select(col("band"), col("band_key"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_key"), col("sig").as("sig_b"))
+    // distinct unordered sig pairs within Hamming range (a pair is found
+    // once per shared band — distinct BEFORE the doc expansion)
+    val sigPairs = a.join(b, Seq("band", "band_key"))
+      .filter(col("sig_a") < col("sig_b"))
       .filter(Exprs.hamming(col("sig_a"), col("sig_b")) <= threshold)
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("sig_a"), col("sig_b"),
         Exprs.hamming(col("sig_a"), col("sig_b")).as("distance"))
       .distinct()
+    // cross-group doc pairs: every (x in sig_a's docs, y in sig_b's docs),
+    // ordered by doc id; each {x, y} appears exactly once (one sig per doc,
+    // one row per unordered sig pair)
+    val cross = sigPairs
+      .join(snap.select(col("sig").as("sig_a"), col("doc_id").as("da")), Seq("sig_a"))
+      .join(snap.select(col("sig").as("sig_b"), col("doc_id").as("db")), Seq("sig_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("distance"))
+    // within-group doc pairs: identical sigs share every band (distance 0)
+    val x = snap.select(col("sig"), col("doc_id").as("doc_a"))
+    val y = snap.select(col("sig"), col("doc_id").as("doc_b"))
+    val within = x.join(y, Seq("sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).cast("int").as("distance"))
+    // disjoint by construction (same sig vs different sigs) — no distinct
+    cross.unionByName(within)
   }
 
   /** Per-doc whole-document signatures from assembled raw text. */
