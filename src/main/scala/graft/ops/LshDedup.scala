@@ -201,7 +201,11 @@ object LshDedup {
       .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
       .repartition(col("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // round 0 = one full edge step: least(self, min neighbor)
+    // round 0 = one full edge step: least(self, min neighbor). (An extra
+    // pointer-halving jump here was tried in r6 and reverted: it cut zero
+    // rounds at sf0.1 AND on the 10x probe — the convergence tail is the
+    // late jump-staleness waves, not initial chain depth — so it was one
+    // join of pure overhead.)
     var full = ckpt(
       edges.groupBy(col("x").as("doc_id"))
         .agg(least(min(col("y")), first(col("x"))).as("winner"))
